@@ -1,0 +1,366 @@
+"""Functional JAX Llama-family decoder with pluggable (dense or Palu
+low-rank) KV projections.
+
+One implementation covers Llama / TinyLlama / Mistral (sliding window) /
+Qwen2 (attention bias) -- the reference keeps three near-identical model
+trees (palu/model/svd_llama|svd_mistral|svd_qwen); here family differences
+are config deltas only.
+
+Design: params are a plain pytree (nested dicts / lists of jnp arrays);
+forward functions are pure. Weights are stored (in_features, out_features) so
+matmuls read `x @ w` (natural for XLA/MXU). Low-rank projections hold
+  VT: (hidden, G * r)       x @ VT -> latents (B, S, G, r)
+  U:  (G, r, group_dim)     reconstruct = einsum('bsgr,grd->bsgd')
+matching the math of the reference's HeadwiseLowRankModule
+(svd_linear.py:84-121) with uniform-within-layer ranks (the
+fisher_uniform default; the reference kernel track has the same restriction,
+kernel/palu_attention.py:111).
+
+The *unified* attention supports two value paths that are algebraically
+identical (kernel/palu_attention.py:241-257):
+  - "reconstruct": rebuild full V, apply probs, then dense o_proj
+    (the reference accuracy track, run_ppl_eval semantics)
+  - "fused": keep V latent, probs @ v_latent per group, then the
+    U_v-fused o_proj (the reference latency track; the serving path here)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Primitives
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (xf * weight.astype(jnp.float32)).astype(dtype)
+
+
+def rope_cos_sin(
+    positions: jax.Array, head_dim: int, theta: float, dtype=jnp.float32
+) -> Tuple[jax.Array, jax.Array]:
+    """HF-Llama RoPE tables: cos/sin of shape (*positions.shape, head_dim),
+    duplicated over the two halves ([f, f] layout)."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., hd/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, S, n_heads, head_dim); cos/sin: (B, S, head_dim)."""
+    cos = cos[..., None, :]
+    sin = sin[..., None, :]
+    return x * cos + rotate_half(x) * sin
+
+
+# ---------------------------------------------------------------------------
+# Projections (dense or low-rank)
+# ---------------------------------------------------------------------------
+
+
+def project_kv(x: jax.Array, proj: Params) -> jax.Array:
+    """Dense: returns (B, S, out). Low-rank: returns latents (B, S, G, r)."""
+    if "VT" in proj:
+        b, s, _ = x.shape
+        lat = x @ proj["VT"]
+        g = proj["U"].shape[0]
+        return lat.reshape(b, s, g, -1)
+    out = x @ proj["w"]
+    if proj.get("b") is not None:
+        out = out + proj["b"]
+    return out
+
+
+def reconstruct_kv(latents: jax.Array, proj: Params) -> jax.Array:
+    """latents (B, S, G, r) -> full (B, S, G*group_dim) via per-group U."""
+    out = jnp.einsum("bsgr,grd->bsgd", latents, proj["U"])
+    if proj.get("b") is not None:
+        out = out + proj["b"]  # per-group bias (G, d), qwen2
+    b, s, g, d = out.shape
+    return out.reshape(b, s, g * d)
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+
+def _causal_mask(
+    q_len: int, kv_len: int, dtype, sliding_window: Optional[int] = None
+) -> jax.Array:
+    """(q_len, kv_len) additive mask; query i attends keys <= i + (kv_len - q_len)."""
+    q_pos = jnp.arange(q_len)[:, None] + (kv_len - q_len)
+    k_pos = jnp.arange(kv_len)[None, :]
+    keep = k_pos <= q_pos
+    if sliding_window is not None:
+        keep &= k_pos > q_pos - sliding_window
+    return jnp.where(keep, 0.0, jnp.finfo(dtype).min).astype(dtype)
+
+
+def attention_core(
+    q: jax.Array,  # (B, Sq, nh, hd) -- already roped
+    k: jax.Array,  # (B, Sk, nkv, hd) -- already roped
+    v_or_latent: jax.Array,  # (B, Sk, nkv, hd) dense or (B, Sk, G, rv) latent
+    cfg: ModelConfig,
+    mask: jax.Array,  # (Sq, Sk) additive
+    v_is_latent: bool,
+) -> jax.Array:
+    """softmax(q k^T / sqrt(d) + mask) @ v, GQA-aware.
+
+    With v_is_latent the value matmul runs in latent space grouped by KV head
+    group (the o_proj must then be the U_v-fused one); output is
+    (B, Sq, nh * rv) instead of (B, Sq, nh * hd).
+    """
+    b, sq, nh, hd = q.shape
+    sk = k.shape[1]
+    nkv = cfg.num_key_value_heads
+    rep = nh // nkv
+
+    qh = q.transpose(0, 2, 1, 3)  # (B, nh, Sq, hd)
+    kh = k.transpose(0, 2, 1, 3)  # (B, nkv, Sk, hd)
+    if rep > 1:
+        kh = jnp.repeat(kh, rep, axis=1)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) / np.sqrt(cfg.head_dim)
+    logits = logits + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)  # (B, nh, Sq, Sk)
+
+    if not v_is_latent:
+        vh = v_or_latent.transpose(0, 2, 1, 3)
+        if rep > 1:
+            vh = jnp.repeat(vh, rep, axis=1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        return out.transpose(0, 2, 1, 3).reshape(b, sq, nh * hd)
+
+    # Latent-V path: group q-heads by kv group; probs (B, G, gs*rep*Sq, Sk)
+    # @ latents (B, G, Sk, rv) (kernel/palu_attention.py:248-251, GQA-general).
+    g = v_or_latent.shape[2]
+    rv = v_or_latent.shape[3]
+    heads_per_group = nh // g
+    probs_g = probs.reshape(b, g, heads_per_group * sq, sk)
+    lat = v_or_latent.transpose(0, 2, 1, 3)  # (B, G, Sk, rv)
+    out = jnp.einsum("bgqk,bgkr->bgqr", probs_g, lat)
+    out = out.reshape(b, nh, sq, rv)
+    return out.transpose(0, 2, 1, 3).reshape(b, sq, nh * rv)
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def mlp_forward(x: jax.Array, p: Params) -> jax.Array:
+    gate = x @ p["gate"]
+    up = x @ p["up"]
+    return (jax.nn.silu(gate) * up) @ p["down"]
+
+
+def attn_forward(
+    x: jax.Array,
+    p: Params,
+    cfg: ModelConfig,
+    positions: jax.Array,
+    mask: jax.Array,
+    quantize_latent=None,
+    value_mode: str = "reconstruct",
+) -> jax.Array:
+    """Full-sequence (no-cache) attention used by the ppl/accuracy path.
+
+    quantize_latent: optional fn(latents (B,S,G,r)) -> latents, applied to
+    K and V latents before reconstruction (fake-quant semantics of
+    svd_linear.py:84-90).
+    """
+    b, s, _ = x.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    q = x @ p["q_proj"]["w"]
+    if p["q_proj"].get("b") is not None:
+        q = q + p["q_proj"]["b"]
+    q = q.reshape(b, s, nh, hd)
+
+    k_raw = project_kv(x, p["k_proj"])
+    v_raw = project_kv(x, p["v_proj"])
+
+    k_lowrank = k_raw.ndim == 4
+    v_lowrank = v_raw.ndim == 4
+    if quantize_latent is not None:
+        if k_lowrank:
+            k_raw = quantize_latent(k_raw)
+        if v_lowrank:
+            v_raw = quantize_latent(v_raw)
+
+    k = reconstruct_kv(k_raw, p["k_proj"]) if k_lowrank else k_raw
+    k = k.reshape(b, s, nkv, hd)
+
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, dtype=jnp.float32)
+    qr = apply_rope(q.astype(jnp.float32), cos, sin).astype(x.dtype)
+    kr = apply_rope(k.astype(jnp.float32), cos, sin).astype(x.dtype)
+
+    if value_mode == "fused" and v_lowrank:
+        out = attention_core(qr, kr, v_raw, cfg, mask, v_is_latent=True)
+        o_w = p["o_proj"]["w_fused"]
+    else:
+        v = reconstruct_kv(v_raw, p["v_proj"]) if v_lowrank else v_raw
+        v = v.reshape(b, s, nkv, hd)
+        out = attention_core(qr, kr, v, cfg, mask, v_is_latent=False)
+        o_w = p["o_proj"]["w"]
+    return out @ o_w
+
+
+def decoder_layer(
+    x: jax.Array,
+    p: Params,
+    cfg: ModelConfig,
+    positions: jax.Array,
+    mask: jax.Array,
+    quantize_latent=None,
+    value_mode: str = "reconstruct",
+) -> jax.Array:
+    h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+    x = x + attn_forward(h, p["attn"], cfg, positions, mask, quantize_latent, value_mode)
+    h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+    x = x + mlp_forward(h, p["mlp"])
+    return x
+
+
+def forward(
+    params: Params,
+    input_ids: jax.Array,  # (B, S)
+    cfg: ModelConfig,
+    quantize_latent=None,
+    value_mode: str = "reconstruct",
+) -> jax.Array:
+    """Full forward pass -> logits (B, S, vocab). Accuracy-track semantics:
+    no KV cache, causal mask, fake-quant hook on latents (run_ppl_eval.py 3.2)."""
+    b, s = input_ids.shape
+    x = params["embed"][input_ids]
+    positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+    mask = _causal_mask(s, s, jnp.float32, cfg.sliding_window)
+    for p_layer in params["layers"]:
+        x = decoder_layer(
+            x, p_layer, cfg, positions, mask, quantize_latent, value_mode
+        )
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
+    return x @ lm_head
+
+
+# ---------------------------------------------------------------------------
+# Init (random weights, for tests and latency benches)
+# ---------------------------------------------------------------------------
+
+
+def init_params(
+    cfg: ModelConfig, key: jax.Array, dtype=jnp.float32, scale: float = 0.02
+) -> Params:
+    """Random-init params (the reference's latency track also runs on random
+    weights, run_latency_attention.py:40-55). Low-rank layers are created for
+    any projection named in cfg.head_wise_ranks."""
+
+    def dense(key, shape):
+        return (jax.random.normal(key, shape) * scale).astype(dtype)
+
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    h = cfg.hidden_size
+    keys = iter(jax.random.split(key, 8 + cfg.num_hidden_layers * 16))
+
+    def kv_proj(layer, which):
+        rank = cfg.uniform_rank_for(layer, which)
+        out_dim = nkv * hd
+        if rank is None:
+            p = {"w": dense(next(keys), (h, out_dim))}
+            if cfg.attention_bias:
+                p["b"] = jnp.zeros((out_dim,), dtype)
+            return p
+        g = cfg.num_kv_groups
+        p = {
+            "VT": dense(next(keys), (h, g * rank)),
+            "U": dense(next(keys), (g, rank, cfg.group_dim)),
+        }
+        if cfg.attention_bias:
+            p["b"] = jnp.zeros((g, cfg.group_dim), dtype)
+        return p
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        q_p = {"w": dense(next(keys), (h, nh * hd))}
+        if cfg.attention_bias:
+            q_p["b"] = jnp.zeros((nh * hd,), dtype)
+        attn = {
+            "q_proj": q_p,
+            "k_proj": kv_proj(i, "k_proj"),
+            "v_proj": kv_proj(i, "v_proj"),
+            "o_proj": {"w": dense(next(keys), (nh * hd, h))},
+        }
+        if "VT" in attn["v_proj"]:
+            attn["o_proj"]["w_fused"] = fuse_o_proj(
+                np.asarray(attn["o_proj"]["w"]), np.asarray(attn["v_proj"]["U"]), cfg
+            ).astype(dtype)
+        layers.append(
+            {
+                "input_norm": jnp.ones((h,), dtype),
+                "post_norm": jnp.ones((h,), dtype),
+                "attn": attn,
+                "mlp": {
+                    "gate": dense(next(keys), (h, cfg.intermediate_size)),
+                    "up": dense(next(keys), (h, cfg.intermediate_size)),
+                    "down": dense(next(keys), (cfg.intermediate_size, h)),
+                },
+            }
+        )
+    return {
+        "embed": dense(next(keys), (cfg.vocab_size, h)),
+        "layers": layers,
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": None if cfg.tie_word_embeddings else dense(next(keys), (h, cfg.vocab_size)),
+    }
+
+
+def fuse_o_proj(o_w: np.ndarray, u_v: np.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Fold U_v into o_proj: (nh * rv, hidden) fused weight.
+
+    Our o_w is (nh*hd, hidden) [input-major]; per q-head h served by kv head
+    j = h // rep in group g = j // gs, the fused block is
+    U_v[g, :, (j%gs)*hd:(j%gs+1)*hd] @ o_w[h*hd:(h+1)*hd, :]  -> (rv, hidden).
+    Equivalent to the reference's per-head o_proj @ U fusion
+    (kernel/palu_attention.py:284-307), generalized to GQA.
+    """
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    rep = nh // nkv
+    gs = cfg.head_group_size
+    rv = u_v.shape[1]
+    hidden = o_w.shape[1]
+    blocks = np.empty((nh, rv, hidden), dtype=np.float32)
+    for h_idx in range(nh):
+        j = h_idx // rep
+        g = j // gs
+        u_slice = u_v[g, :, (j % gs) * hd : (j % gs + 1) * hd]  # (rv, hd)
+        blocks[h_idx] = u_slice.astype(np.float32) @ o_w[
+            h_idx * hd : (h_idx + 1) * hd, :
+        ].astype(np.float32)
+    return jnp.asarray(blocks.reshape(nh * rv, hidden))

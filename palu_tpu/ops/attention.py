@@ -1,0 +1,144 @@
+"""Attention ops for prefill and decode.
+
+- `mha_prefill`: causal (optionally sliding-window) multi-head attention.
+  On TPU with long sequences it dispatches to the Pallas flash-attention
+  kernel that ships with JAX; elsewhere it uses a blockwise-safe XLA einsum
+  (fine for eval sequence lengths).
+- `flash_decode_latent`: the Palu decode step over the *latent* KV cache --
+  one flash-style pass that fuses K-reconstruction (latent @ B), on-the-fly
+  RoPE, masked online softmax, and the latent-V value contraction. This is
+  the XLA (lax.scan) formulation of the fused kernel; the Pallas version
+  (palu_tpu.ops.pallas.palu_decode) shares its math and is used on TPU.
+
+Math parity: the reference decode computes attn = softmax(abx(q, B, X)/sqrt(d))
+then probs @ v_latents then fused o_proj (kernel/palu_attention.py:207-257,
+abx_rope.py:49-111). Here the two stages run in one online-softmax pass, so
+the latent cache is read exactly once per step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["mha_prefill", "flash_decode_latent", "rope_align_query"]
+
+
+def _causal_biased_logits(q, k, scale, sliding_window, q_offset):
+    sq, sk = q.shape[-3], k.shape[-3]
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    q_pos = jnp.arange(sq)[:, None] + q_offset
+    k_pos = jnp.arange(sk)[None, :]
+    keep = k_pos <= q_pos
+    if sliding_window is not None:
+        keep &= k_pos > q_pos - sliding_window
+    return jnp.where(keep[None, None], logits, jnp.finfo(jnp.float32).min)
+
+
+def mha_prefill(
+    q: jax.Array,  # (B, Sq, nh, hd), roped
+    k: jax.Array,  # (B, Sk, nkv, hd), roped
+    v: jax.Array,  # (B, Sk, nkv, hd)
+    sliding_window: Optional[int] = None,
+    q_offset: int = 0,
+) -> jax.Array:
+    """Causal MHA -> (B, Sq, nh*hd). GQA handled by head repetition."""
+    b, sq, nh, hd = q.shape
+    nkv = k.shape[2]
+    if nh != nkv:
+        rep = nh // nkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    logits = _causal_biased_logits(q, k, 1.0 / np.sqrt(hd), sliding_window, q_offset)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return out.reshape(b, sq, nh * hd)
+
+
+def rope_align_query(q: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Apply RoPE at the query's absolute position. q: (..., hd)."""
+    half = q.shape[-1] // 2
+    rot = jnp.concatenate([-q[..., half:], q[..., :half]], axis=-1)
+    return q * cos + rot * sin
+
+
+def flash_decode_latent(
+    q: jax.Array,  # (B, nh, hd) -- roped at the current position
+    read_k_chunk,  # fn(chunk_idx) -> (B, G, C, rk) latents (dequantized)
+    read_v_chunk,  # fn(chunk_idx) -> (B, G, C, rv) latents
+    b_k: jax.Array,  # (G, hpg, rk, hd) grouped per-head reconstruction matrices
+    num_chunks: int,
+    chunk: int,
+    kv_len: jax.Array,  # scalar: number of valid cache positions
+    head_dim: int,
+    rope_theta: float,
+    rv: int,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Fused latent decode attention -> (B, nh, rv) latent-space output.
+
+    Single pass over the cache with online softmax (flash-decoding over the
+    sequence): per chunk, reconstruct K-block (latent @ B), apply RoPE with
+    absolute positions computed in-scan (the reference kernel's in-kernel
+    cos/sin, abx_rope.py:20-27), accumulate (m, l, acc).
+    """
+    b, nh, hd = q.shape
+    g, hpg = b_k.shape[0], b_k.shape[1]
+    q_g = q.reshape(b, g, hpg, hd)
+
+    inv_freq = 1.0 / (
+        rope_theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+
+    def body(carry, idx):
+        m, l, acc = carry
+        xk = read_k_chunk(idx).astype(jnp.float32)  # (B, G, C, rk)
+        xv = read_v_chunk(idx).astype(jnp.float32)  # (B, G, C, rv)
+        # reconstruct K block: (B, G, hpg, C, hd)
+        kblk = jnp.einsum(
+            "bgcr,ghrd->bghcd", xk, b_k.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        # in-scan RoPE at absolute positions
+        pos = idx * chunk + jnp.arange(chunk)
+        freqs = pos[:, None].astype(jnp.float32) * inv_freq  # (C, hd/2)
+        emb = jnp.concatenate([freqs, freqs], axis=-1)
+        cos, sin = jnp.cos(emb), jnp.sin(emb)
+        half = hd // 2
+        krot = jnp.concatenate([-kblk[..., half:], kblk[..., :half]], axis=-1)
+        kblk = kblk * cos + krot * sin
+        # logits (B, G, hpg, C)
+        logits = jnp.einsum(
+            "bghd,bghcd->bghc", q_g.astype(jnp.float32), kblk,
+            preferred_element_type=jnp.float32,
+        ) / np.sqrt(head_dim)
+        valid = pos < kv_len
+        if sliding_window is not None:
+            valid &= pos > (kv_len - 1) - sliding_window
+        # finite mask value + explicit p zeroing: -inf would produce
+        # exp(-inf - -inf) = nan on fully-masked chunks
+        logits = jnp.where(valid[None, None, None, :], logits, -1e30)
+        # online softmax update
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new[..., None])  # (B, G, hpg, C)
+        p = jnp.where(valid[None, None, None, :], p, 0.0)
+        l_new = l * alpha + jnp.sum(p, axis=-1)
+        pv = jnp.einsum(
+            "bghc,bgcr->bghr", p, xv, preferred_element_type=jnp.float32
+        )
+        acc_new = acc * alpha[..., None] + pv
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((b, g, hpg), -1e30, jnp.float32)
+    l0 = jnp.zeros((b, g, hpg), jnp.float32)
+    acc0 = jnp.zeros((b, g, hpg, rv), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(num_chunks))
+    out = acc / l[..., None]
+    return out.reshape(b, nh, rv)

@@ -1,0 +1,311 @@
+"""Pallas TPU kernel: fused Palu flash-decode over the latent KV cache.
+
+This is the TPU-native successor of the reference's Triton `_abx_fwd` decode
+kernel (kernel/abx_rope.py:48-111) -- and goes further: where the reference
+runs three kernels per step (abx logits -> softmax -> probs @ v_latents,
+kernel/palu_attention.py:207-251), this kernel performs the *entire* decode
+attention in one pass over HBM:
+
+    per sequence block:
+        K-block reconstruct:  xb = x_k_blk @ B_h            (MXU)
+        on-the-fly RoPE:      cos/sin from absolute block positions,
+                              computed in-kernel (the abx_rope.py:20-27
+                              idea, but parameterized -- no hardcoded
+                              32 heads / 128 head_dim / theta=10000)
+        masked online softmax over logits q . xb^T
+        value accumulate:     p @ x_v_blk  (latent V -- never reconstructed)
+
+so each latent-cache byte is read exactly once per decode step: the kernel is
+HBM-bandwidth-bound at ~(r_k + r_v) elements/token/layer, the scheme's
+theoretical minimum (vs 2 * n_kv_heads * head_dim for a dense KV cache).
+
+The *_quantized variant reads an int-packed cache (2/3/4-bit planar codes
+from palu_tpu.core.quant) and fuses dequantization into the same pass -- the
+reference's stated-but-unimplemented TODO (README.md:24).
+
+Grid: (batch, G, S_max / BLOCK_S), sequential over the last axis with the
+online-softmax carry in VMEM scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.quant import QuantConfig, packed_nbytes
+
+__all__ = ["palu_flash_decode", "palu_flash_decode_quantized"]
+
+
+def _rope_tables(pos_start, block, half, theta):
+    """cos/sin (block, half) for absolute positions [pos_start, pos_start+block)."""
+    exponent = (
+        jax.lax.broadcasted_iota(jnp.float32, (1, half), 1) * (2.0 / (2 * half))
+    )
+    inv_freq = 1.0 / jnp.power(jnp.float32(theta), exponent)  # (1, half)
+    pos = (
+        jax.lax.broadcasted_iota(jnp.float32, (block, 1), 0)
+        + pos_start.astype(jnp.float32)
+    )
+    freqs = pos * inv_freq  # (block, half)
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def _unpack_block(codes_i32, bits: int, rank: int):
+    """(BS, nbytes) int32 planar-packed codes -> (BS, rank) int32.
+
+    Mirrors palu_tpu.core.quant.unpack_codes: lane-uniform shifts/masks,
+    concatenation along lanes restores logical order.
+    """
+    if bits in (2, 4):
+        s = 8 // bits
+        mask = 2**bits - 1
+        fields = [ (codes_i32 >> (bits * k)) & mask for k in range(s) ]
+        return jnp.concatenate(fields, axis=-1)
+    if bits == 3:
+        n4 = rank // 4
+        lo_codes = codes_i32[:, :n4]
+        hi_codes = codes_i32[:, n4:]
+        lo = jnp.concatenate([(lo_codes >> (2 * k)) & 3 for k in range(4)], axis=-1)
+        hi = jnp.concatenate([(hi_codes >> k) & 1 for k in range(8)], axis=-1)
+        return lo | (hi << 2)
+    raise ValueError(f"unsupported bits: {bits}")
+
+
+def _make_decode_kernel(
+    *,
+    block_s: int,
+    theta: float,
+    hd: int,
+    hpg: int,
+    sliding_window: Optional[int],
+    qcfg: Optional[QuantConfig],
+    rk: int,
+    rv: int,
+):
+    quantized = qcfg is not None and qcfg.enabled
+
+    def kernel(*refs):
+        if quantized:
+            (kv_len_ref, q_ref, bk_ref,
+             xk_codes, xk_scales, xk_base,
+             xv_codes, xv_scales, xv_base,
+             out_ref, m_scr, l_scr, acc_scr) = refs
+        else:
+            (kv_len_ref, q_ref, bk_ref, xk_ref, xv_ref,
+             out_ref, m_scr, l_scr, acc_scr) = refs
+
+        sblk = pl.program_id(2)
+        nblk = pl.num_programs(2)
+        kv_len = kv_len_ref[0]
+
+        @pl.when(sblk == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -1e30)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        half = hd // 2
+        pos_start = sblk * block_s
+        cos, sin = _rope_tables(jnp.int32(pos_start), block_s, half, theta)
+
+        pos = jax.lax.broadcasted_iota(jnp.int32, (block_s, 1), 0) + pos_start
+        valid = pos < kv_len
+        if sliding_window is not None:
+            valid = jnp.logical_and(valid, pos > (kv_len - 1) - sliding_window)
+
+        if quantized:
+            q_min = -(2 ** (qcfg.bits - 1)) if qcfg.sym else 0
+
+            def dequant(codes_ref, scales_ref, base_ref, rank):
+                codes = _unpack_block(codes_ref[...].astype(jnp.int32), qcfg.bits, rank)
+                vals = (codes + q_min).astype(jnp.float32)
+                return (vals - base_ref[...]) * scales_ref[...]
+
+            x = dequant(xk_codes, xk_scales, xk_base, rk)  # (BS, rk)
+            xv = dequant(xv_codes, xv_scales, xv_base, rv)  # (BS, rv)
+        else:
+            x = xk_ref[...].astype(jnp.float32)
+            xv = xv_ref[...].astype(jnp.float32)
+
+        scale = 1.0 / np.sqrt(hd)
+
+        for j in range(hpg):  # static unroll over this group's q-heads
+            bkj = bk_ref[j].astype(jnp.float32)  # (rk, hd)
+            xb = jnp.dot(x, bkj, preferred_element_type=jnp.float32)  # (BS, hd)
+            xb1, xb2 = xb[:, :half], xb[:, half:]
+            r1 = xb1 * cos - xb2 * sin
+            r2 = xb2 * cos + xb1 * sin
+            qj = q_ref[j : j + 1, :].astype(jnp.float32)  # (1, hd)
+            q1, q2 = qj[:, :half], qj[:, half:]
+            logits = (
+                jax.lax.dot_general(
+                    r1, q1, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + jax.lax.dot_general(
+                    r2, q2, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            ) * scale  # (BS, 1)
+            logits = jnp.where(valid, logits, -1e30)
+
+            m_prev = m_scr[j : j + 1, 0:1]  # (1, 1)
+            l_prev = l_scr[j : j + 1, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(logits))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits - m_new)  # (BS, 1)
+            p = jnp.where(valid, p, 0.0)
+            l_new = l_prev * alpha + jnp.sum(p)
+            pv = jax.lax.dot_general(
+                p, xv, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, rv)
+            acc_scr[j : j + 1, :] = acc_scr[j : j + 1, :] * alpha + pv
+            m_scr[j : j + 1, 0:1] = m_new
+            l_scr[j : j + 1, 0:1] = l_new
+
+        @pl.when(sblk == nblk - 1)
+        def _finalize():
+            out_ref[...] = (acc_scr[...] / l_scr[:, 0:1]).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _common_call(kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra_in_specs,
+                 interpret, inputs):
+    grid = (b, g, s_max // block_s)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (None, None, hpg, hd), lambda bi, gi, si, *_: (bi, gi, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (None, hpg, rk, hd), lambda bi, gi, si, *_: (gi, 0, 0, 0)
+                ),
+            ]
+            + extra_in_specs,
+            out_specs=pl.BlockSpec(
+                (None, None, hpg, rv), lambda bi, gi, si, *_: (bi, gi, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((hpg, 128), jnp.float32),
+                pltpu.VMEM((hpg, 128), jnp.float32),
+                pltpu.VMEM((hpg, rv), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, g, hpg, rv), jnp.float32),
+        interpret=interpret,
+    )(*inputs)
+    return out.reshape(b, g * hpg, rv)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_s", "theta", "sliding_window", "interpret")
+)
+def palu_flash_decode(
+    q: jax.Array,  # (B, nh, hd) roped at the current position
+    b_k: jax.Array,  # (G, hpg, rk, hd)
+    x_k: jax.Array,  # (B, G, S_max, rk) latents, pre-RoPE
+    x_v: jax.Array,  # (B, G, S_max, rv)
+    kv_len: jax.Array,  # () int32
+    *,
+    block_s: int = 512,
+    theta: float = 10000.0,
+    sliding_window: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused decode attention -> (B, nh, rv) latent-space output (feed into
+    the U_v-fused o_proj)."""
+    b, nh, hd = q.shape
+    g, hpg, rk, _ = b_k.shape
+    s_max, rv = x_k.shape[2], x_v.shape[3]
+    assert nh == g * hpg and s_max % block_s == 0, (nh, g, hpg, s_max, block_s)
+
+    kernel = _make_decode_kernel(
+        block_s=block_s, theta=theta, hd=hd, hpg=hpg,
+        sliding_window=sliding_window, qcfg=None, rk=rk, rv=rv,
+    )
+    extra = [
+        pl.BlockSpec((None, None, block_s, rk), lambda bi, gi, si, *_: (bi, gi, si, 0)),
+        pl.BlockSpec((None, None, block_s, rv), lambda bi, gi, si, *_: (bi, gi, si, 0)),
+    ]
+    return _common_call(
+        kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra, interpret,
+        (
+            jnp.asarray(kv_len, jnp.int32).reshape(1),
+            q.reshape(b, g, hpg, hd),
+            b_k,
+            x_k,
+            x_v,
+        ),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window", "interpret"),
+)
+def palu_flash_decode_quantized(
+    q: jax.Array,  # (B, nh, hd)
+    b_k: jax.Array,  # (G, hpg, rk, hd)
+    xk_codes: jax.Array,  # (B, G, S_max, packed_nbytes(rk)) uint8
+    xk_scales: jax.Array,  # (B, G, S_max, 1) f32
+    xk_base: jax.Array,  # (B, G, S_max, 1) f32
+    xv_codes: jax.Array,
+    xv_scales: jax.Array,
+    xv_base: jax.Array,
+    kv_len: jax.Array,
+    *,
+    qcfg: QuantConfig,
+    rk: int,
+    rv: int,
+    block_s: int = 512,
+    theta: float = 10000.0,
+    sliding_window: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode attention with dequantization of the packed latent cache fused
+    into the streaming pass. Requires per-row scales (qcfg.group_size == 0)."""
+    assert qcfg.enabled and qcfg.group_size == 0
+    b, nh, hd = q.shape
+    g, hpg = b_k.shape[0], b_k.shape[1]
+    s_max = xk_codes.shape[2]
+    nbk = packed_nbytes(rk, qcfg.bits)
+    nbv = packed_nbytes(rv, qcfg.bits)
+    assert xk_codes.shape[3] == nbk and xv_codes.shape[3] == nbv
+
+    kernel = _make_decode_kernel(
+        block_s=block_s, theta=theta, hd=hd, hpg=hpg,
+        sliding_window=sliding_window, qcfg=qcfg, rk=rk, rv=rv,
+    )
+
+    def blk(last, name_dim):
+        return pl.BlockSpec(
+            (None, None, block_s, last), lambda bi, gi, si, *_: (bi, gi, si, 0)
+        )
+
+    extra = [
+        blk(nbk, "kc"), blk(1, "ks"), blk(1, "kb"),
+        blk(nbv, "vc"), blk(1, "vs"), blk(1, "vb"),
+    ]
+    return _common_call(
+        kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra, interpret,
+        (
+            jnp.asarray(kv_len, jnp.int32).reshape(1),
+            q.reshape(b, g, hpg, hd),
+            b_k,
+            xk_codes, xk_scales, xk_base,
+            xv_codes, xv_scales, xv_base,
+        ),
+    )

@@ -1,0 +1,139 @@
+"""Latent KV cache: static-shape, jit-friendly, optionally int-packed.
+
+The reference's latency track stores latents in an HF DynamicCache
+(kernel/palu_attention.py:193) whose buffers grow per step -- a shape-dynamic
+pattern XLA cannot compile. Here the cache is a preallocated pytree of
+per-layer buffers written with lax.dynamic_update_slice, with a scalar
+`length`; decode steps donate the cache for in-place XLA updates (the
+CUDA-graph replacement, run_latency_attention.py:81-90 -> jit + donation).
+
+Layouts (per layer, ragged ranks across layers allowed):
+  k latents: (B, G, S_max, r_k)   pre-RoPE, as in the reference (RoPE is
+  v latents: (B, G, S_max, r_v)   applied at reconstruction time)
+
+Quantized variant stores uint8-packed codes + per-token scales/base produced
+by palu_tpu.core.quant (2/3/4-bit; the reference only fake-quants and lists
+real packed caching as future work, README.md:24).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import quant
+from ..models.config import ModelConfig
+
+__all__ = ["init_cache", "cache_nbytes", "write_prefill", "write_token"]
+
+
+def _layer_buffers(
+    batch: int,
+    groups: int,
+    s_max: int,
+    rank: int,
+    dtype,
+    qcfg: Optional[quant.QuantConfig],
+):
+    if qcfg is None or not qcfg.enabled:
+        return {"lat": jnp.zeros((batch, groups, s_max, rank), dtype)}
+    nbytes = quant.packed_nbytes(rank, qcfg.bits)
+    n_scale = rank // qcfg.group_size if qcfg.group_size > 0 else 1
+    return {
+        "codes": jnp.zeros((batch, groups, s_max, nbytes), jnp.uint8),
+        "scales": jnp.zeros((batch, groups, s_max, n_scale), jnp.float32),
+        "base": jnp.zeros((batch, groups, s_max, n_scale), jnp.float32),
+    }
+
+
+def init_cache(
+    cfg: ModelConfig,
+    batch: int,
+    s_max: int,
+    dtype=jnp.bfloat16,
+    qcfg: Optional[quant.QuantConfig] = None,
+) -> Dict[str, Any]:
+    """Build the cache pytree. Layers without low-rank k/v fall back to dense
+    KV buffers (B, n_kv, S_max, head_dim)."""
+    g = cfg.num_kv_groups
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        rk = cfg.uniform_rank_for(i, "k_proj")
+        rv = cfg.uniform_rank_for(i, "v_proj")
+        entry = {}
+        if rk is None:
+            entry["k"] = {
+                "lat": jnp.zeros((batch, cfg.num_key_value_heads, s_max, cfg.head_dim), dtype)
+            }
+        else:
+            entry["k"] = _layer_buffers(batch, g, s_max, rk, dtype, qcfg)
+        if rv is None:
+            entry["v"] = {
+                "lat": jnp.zeros((batch, cfg.num_key_value_heads, s_max, cfg.head_dim), dtype)
+            }
+        else:
+            entry["v"] = _layer_buffers(batch, g, s_max, rv, dtype, qcfg)
+        layers.append(entry)
+    return {"layers": layers, "length": jnp.zeros((), jnp.int32)}
+
+
+def cache_nbytes(cache: Dict[str, Any]) -> int:
+    """Total cache footprint in bytes (for compression-rate reporting)."""
+    total = 0
+    for leaf in jax.tree.leaves(cache):
+        total += leaf.size * leaf.dtype.itemsize
+    return total
+
+
+def _encode(latents: jax.Array, qcfg: Optional[quant.QuantConfig], dtype):
+    """latents (B, G, S, r) -> buffer update dict."""
+    if qcfg is None or not qcfg.enabled:
+        return {"lat": latents.astype(dtype)}
+    codes, scales, base = quant.quantize(latents, qcfg)
+    packed = quant.pack_codes(codes, qcfg.bits)
+    return {
+        "codes": packed,
+        "scales": scales.astype(jnp.float32),
+        "base": base.astype(jnp.float32),
+    }
+
+
+def decode_latents(
+    buf: Dict[str, jax.Array],
+    qcfg: Optional[quant.QuantConfig],
+    rank: int,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Read back latents (B, G, S, r) from a layer buffer (dequantizing if
+    packed). The Pallas decode kernel fuses this; this is the XLA fallback."""
+    if qcfg is None or not qcfg.enabled:
+        return buf["lat"].astype(dtype)
+    codes = quant.unpack_codes(buf["codes"], qcfg.bits, rank)
+    return quant.dequantize(codes, buf["scales"], buf["base"], qcfg, dtype=dtype)
+
+
+def write_at(
+    buf: Dict[str, jax.Array],
+    update: Dict[str, jax.Array],
+    pos: jax.Array,
+) -> Dict[str, jax.Array]:
+    """Write `update` (B, G, S_new, ...) into each buffer at seq offset pos."""
+    out = {}
+    for k, u in update.items():
+        out[k] = jax.lax.dynamic_update_slice(
+            buf[k], u, (0, 0, pos, 0)
+        )
+    return out
+
+
+def write_prefill(buf, latents, qcfg, dtype, pos):
+    """latents (B, G, S, r) written at offset pos; returns new layer buffer.
+    Pass qcfg=None for dense (uncompressed) buffers."""
+    upd = _encode(latents, qcfg, dtype)
+    return write_at(buf, upd, pos)
+
+
+write_token = write_prefill  # same path: S == 1

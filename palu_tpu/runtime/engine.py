@@ -1,0 +1,371 @@
+"""The unified Palu inference engine: one implementation that is both the
+accuracy track (real latent cache, optional real quantization) and the
+latency track (fused decode) -- unlike the reference's two disjoint stacks
+(SURVEY.md section 1).
+
+  prefill: project -> write latents to cache -> reconstruct K/V from the
+           cache (so attention sees exactly what future decode steps will
+           read, including quantization error) -> RoPE -> causal MHA ->
+           dense o_proj.
+  decode:  project 1 token -> append latents -> fused flash-decode over the
+           latent cache (reconstruct-K + RoPE + online softmax + latent-V) ->
+           U_v-fused o_proj.  jit-compiled with the cache donated, which is
+           the XLA equivalent of the reference's CUDA-graph capture
+           (run_latency_attention.py:81-90).
+
+Reference math being reproduced: kernel/palu_attention.py:147-263.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import quant
+from ..models import llama
+from ..models.config import ModelConfig
+from ..ops import attention as att_ops
+from . import cache as cache_lib
+
+__all__ = ["EngineConfig", "Engine", "build_decode_b"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    s_max: int = 2048
+    batch: int = 1
+    dtype: Any = jnp.bfloat16
+    qcfg: Optional[quant.QuantConfig] = None
+    decode_chunk: int = 512
+    use_pallas: bool = False  # fused Pallas decode kernel (TPU)
+
+
+def build_decode_b(u_k: np.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Group the per-kv-head U_k into per-q-head reconstruction matrices
+    B: (G, heads_per_group, rk, hd) (reference builds (num_heads, rank, hd),
+    kernel/palu_attention.py:107-114; ours keeps the group axis explicit and
+    extends to GQA by sharing B across the `rep` q-heads of each kv head)."""
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    rep = nh // nkv
+    gs = cfg.head_group_size
+    g = cfg.num_kv_groups
+    rk = u_k.shape[1]
+    hpg = nh // g
+    b = np.empty((g, hpg, rk, hd), dtype=np.float32)
+    for gi in range(g):
+        for hj in range(hpg):
+            j_local = hj // rep  # kv head within group
+            b[gi, hj] = u_k[gi, :, j_local * hd : (j_local + 1) * hd]
+    return jnp.asarray(b)
+
+
+class Engine:
+    """Latent-KV generation engine for one model. Not a pytree -- holds
+    params plus derived decode weights and jitted step functions."""
+
+    def __init__(self, params, cfg: ModelConfig, ecfg: EngineConfig):
+        self.params = params
+        self.cfg = cfg
+        self.ecfg = ecfg
+        self.derived = self._build_derived()
+        self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(1,))
+        self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,))
+
+    # -- build ---------------------------------------------------------------
+
+    def _build_derived(self):
+        derived = []
+        for i, layer in enumerate(self.params["layers"]):
+            attn = layer["attn"]
+            entry = {}
+            if "VT" in attn["k_proj"]:
+                entry["b_k"] = build_decode_b(
+                    np.asarray(attn["k_proj"]["U"], dtype=np.float32), self.cfg
+                ).astype(self.ecfg.dtype)
+            derived.append(entry)
+        return derived
+
+    def init_cache(self):
+        return cache_lib.init_cache(
+            self.cfg,
+            self.ecfg.batch,
+            self.ecfg.s_max,
+            dtype=self.ecfg.dtype,
+            qcfg=self.ecfg.qcfg,
+        )
+
+    # -- prefill -------------------------------------------------------------
+
+    def _prefill_impl(self, params, cache, input_ids):
+        cfg, ecfg = self.cfg, self.ecfg
+        b, s = input_ids.shape
+        x = params["embed"][input_ids].astype(ecfg.dtype)
+        positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        cos, sin = llama.rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+        new_layers = []
+        for i, (p_layer, entry) in enumerate(zip(params["layers"], cache["layers"])):
+            attn = p_layer["attn"]
+            h = llama.rms_norm(x, p_layer["input_norm"], cfg.rms_norm_eps)
+
+            q = h @ attn["q_proj"]["w"]
+            if attn["q_proj"].get("b") is not None:
+                q = q + attn["q_proj"]["b"]
+            q = q.reshape(b, s, nh, hd)
+            q = llama.apply_rope(q.astype(jnp.float32), cos, sin).astype(ecfg.dtype)
+
+            k_raw = llama.project_kv(h, attn["k_proj"])  # latent (b,s,G,rk) or dense
+            v_raw = llama.project_kv(h, attn["v_proj"])
+
+            k_dense = "VT" not in attn["k_proj"]
+            v_dense = "VT" not in attn["v_proj"]
+            entry = dict(entry)
+            # ---- write cache (latents are cached pre-RoPE; dense K is
+            # cached post-RoPE) then read back so attention sees what decode
+            # will see (incl. quantization error) ----
+            if k_dense:
+                k_full = k_raw.reshape(b, s, nkv, hd)
+                k_roped = llama.apply_rope(k_full.astype(jnp.float32), cos, sin)
+                upd = k_roped.astype(ecfg.dtype).transpose(0, 2, 1, 3)
+                entry["k"] = cache_lib.write_at(entry["k"], {"lat": upd}, 0)
+                k = k_roped.astype(ecfg.dtype)
+            else:
+                lat = k_raw.transpose(0, 2, 1, 3)  # (B, G, S, rk)
+                entry["k"] = cache_lib.write_prefill(entry["k"], lat, ecfg.qcfg, ecfg.dtype, 0)
+                rk = lat.shape[-1]
+                lat_q = cache_lib.decode_latents(
+                    jax.tree.map(lambda a: a[:, :, :s], entry["k"]),
+                    ecfg.qcfg, rk, ecfg.dtype,
+                ).transpose(0, 2, 1, 3)
+                k = llama.reconstruct_kv(lat_q, attn["k_proj"]).reshape(b, s, nkv, hd)
+                k = llama.apply_rope(k.astype(jnp.float32), cos, sin).astype(ecfg.dtype)
+
+            if v_dense:
+                v = v_raw.reshape(b, s, nkv, hd)
+                entry["v"] = cache_lib.write_at(
+                    entry["v"], {"lat": v.astype(ecfg.dtype).transpose(0, 2, 1, 3)}, 0
+                )
+            else:
+                lat = v_raw.transpose(0, 2, 1, 3)
+                entry["v"] = cache_lib.write_prefill(entry["v"], lat, ecfg.qcfg, ecfg.dtype, 0)
+                rv = lat.shape[-1]
+                lat_q = cache_lib.decode_latents(
+                    jax.tree.map(lambda a: a[:, :, :s], entry["v"]),
+                    ecfg.qcfg, rv, ecfg.dtype,
+                ).transpose(0, 2, 1, 3)
+                v = llama.reconstruct_kv(lat_q, attn["v_proj"]).reshape(b, s, nkv, hd)
+
+            attn_out = att_ops.mha_prefill(q, k, v, cfg.sliding_window)
+            x = x + attn_out @ attn["o_proj"]["w"]
+
+            h2 = llama.rms_norm(x, p_layer["post_norm"], cfg.rms_norm_eps)
+            x = x + llama.mlp_forward(h2, p_layer["mlp"])
+            new_layers.append(entry)
+
+        x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
+        logits = x[:, -1:] @ lm_head
+        new_cache = {"layers": new_layers, "length": jnp.asarray(s, jnp.int32)}
+        return logits, new_cache
+
+    # -- decode --------------------------------------------------------------
+
+    def _decode_impl(self, params, cache, token_ids):
+        """token_ids: (B, 1). One step; appends to cache at `length`."""
+        cfg, ecfg = self.cfg, self.ecfg
+        b = token_ids.shape[0]
+        pos = cache["length"]  # scalar
+        x = params["embed"][token_ids].astype(ecfg.dtype)  # (B, 1, H)
+        nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        positions = jnp.broadcast_to(pos[None, None], (b, 1))
+        cos, sin = llama.rope_cos_sin(positions, hd, cfg.rope_theta)
+
+        kv_len = pos + 1
+        new_layers = []
+        for i, (p_layer, entry, der) in enumerate(
+            zip(params["layers"], cache["layers"], self.derived)
+        ):
+            attn = p_layer["attn"]
+            h = llama.rms_norm(x, p_layer["input_norm"], cfg.rms_norm_eps)
+
+            q = h @ attn["q_proj"]["w"]
+            if attn["q_proj"].get("b") is not None:
+                q = q + attn["q_proj"]["b"]
+            q = q.reshape(b, 1, nh, hd)
+            q = llama.apply_rope(q.astype(jnp.float32), cos, sin).astype(ecfg.dtype)
+            q = q[:, 0]  # (B, nh, hd)
+
+            k_raw = llama.project_kv(h, attn["k_proj"])
+            v_raw = llama.project_kv(h, attn["v_proj"])
+
+            k_dense = "VT" not in attn["k_proj"]
+            v_dense = "VT" not in attn["v_proj"]
+            entry = dict(entry)
+            if k_dense:
+                k_new = k_raw.reshape(b, 1, nkv, hd)
+                k_new = llama.apply_rope(k_new.astype(jnp.float32), cos, sin)
+                upd = {"lat": k_new.astype(ecfg.dtype).transpose(0, 2, 1, 3)}
+                entry["k"] = cache_lib.write_at(entry["k"], upd, pos)
+            else:
+                lat = k_raw.transpose(0, 2, 1, 3)
+                entry["k"] = cache_lib.write_at(
+                    entry["k"],
+                    cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype),
+                    pos,
+                )
+            if v_dense:
+                upd = {"lat": v_raw.reshape(b, 1, nkv, hd).astype(ecfg.dtype).transpose(0, 2, 1, 3)}
+                entry["v"] = cache_lib.write_at(entry["v"], upd, pos)
+            else:
+                lat = v_raw.transpose(0, 2, 1, 3)
+                entry["v"] = cache_lib.write_at(
+                    entry["v"],
+                    cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype),
+                    pos,
+                )
+
+            attn_out = self._decode_attention(q, entry, attn, der, kv_len, k_dense, v_dense)
+            x = x + attn_out[:, None, :]
+
+            h2 = llama.rms_norm(x, p_layer["post_norm"], cfg.rms_norm_eps)
+            x = x + llama.mlp_forward(h2, p_layer["mlp"])
+            new_layers.append(entry)
+
+        x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
+        logits = x @ lm_head
+        new_cache = {"layers": new_layers, "length": kv_len}
+        return logits, new_cache
+
+    def _decode_attention(self, q, entry, attn, der, kv_len, k_dense, v_dense):
+        cfg, ecfg = self.cfg, self.ecfg
+        b, nh, hd = q.shape
+        chunk = min(ecfg.decode_chunk, ecfg.s_max)
+        num_chunks = (ecfg.s_max + chunk - 1) // chunk
+
+        if k_dense and v_dense:
+            # dense fallback: flash decode over full KV
+            out = self._dense_flash_decode(q, entry, kv_len, chunk, num_chunks)
+            return out @ attn["o_proj"]["w"]
+
+        rk = attn["k_proj"]["U"].shape[1]
+        rv = attn["v_proj"]["U"].shape[1]
+
+        def read_k(idx):
+            buf = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk, axis=2),
+                entry["k"],
+            )
+            return cache_lib.decode_latents(buf, ecfg.qcfg, rk, ecfg.dtype)
+
+        def read_v(idx):
+            buf = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk, axis=2),
+                entry["v"],
+            )
+            return cache_lib.decode_latents(buf, ecfg.qcfg, rv, ecfg.dtype)
+
+        lat_out = att_ops.flash_decode_latent(
+            q,
+            read_k,
+            read_v,
+            der["b_k"],
+            num_chunks,
+            chunk,
+            kv_len,
+            hd,
+            cfg.rope_theta,
+            rv,
+            cfg.sliding_window,
+        )  # (B, nh, rv)
+        lat_out = lat_out.astype(ecfg.dtype).reshape(b, nh * rv)
+        return lat_out @ attn["o_proj"]["w_fused"]
+
+    def _dense_flash_decode(self, q, entry, kv_len, chunk, num_chunks):
+        """fp16/bf16-KV baseline decode (the reference's non-palu baseline,
+        run_latency_attention.py --palu absent)."""
+        cfg = self.cfg
+        b, nh, hd = q.shape
+        nkv = cfg.num_key_value_heads
+        rep = nh // nkv
+        q_g = q.reshape(b, nkv, rep, hd)
+
+        def body(carry, idx):
+            m, l, acc = carry
+            kblk = jax.lax.dynamic_slice_in_dim(entry["k"]["lat"], idx * chunk, chunk, axis=2)
+            vblk = jax.lax.dynamic_slice_in_dim(entry["v"]["lat"], idx * chunk, chunk, axis=2)
+            logits = jnp.einsum(
+                "bgrd,bgcd->bgrc", q_g.astype(jnp.float32), kblk.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ) / np.sqrt(hd)
+            pos = idx * chunk + jnp.arange(chunk)
+            valid = pos < kv_len
+            if cfg.sliding_window is not None:
+                valid &= pos > (kv_len - 1) - cfg.sliding_window
+            logits = jnp.where(valid[None, None, None, :], logits, -1e30)
+            m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(logits - m_new[..., None])
+            p = jnp.where(valid[None, None, None, :], p, 0.0)
+            l_new = l * alpha + jnp.sum(p, axis=-1)
+            pv = jnp.einsum(
+                "bgrc,bgcd->bgrd", p, vblk.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            return (m_new, l_new, acc * alpha[..., None] + pv), None
+
+        m0 = jnp.full((b, nkv, rep), -1e30, jnp.float32)
+        l0 = jnp.zeros((b, nkv, rep), jnp.float32)
+        acc0 = jnp.zeros((b, nkv, rep, hd), jnp.float32)
+        (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(num_chunks))
+        out = (acc / l[..., None]).reshape(b, nh * hd)
+        return out.astype(self.ecfg.dtype)
+
+    # -- public API ----------------------------------------------------------
+
+    def prefill(self, input_ids, cache=None):
+        input_ids = jnp.asarray(input_ids)
+        if input_ids.shape[0] != self.ecfg.batch:
+            raise ValueError(
+                f"batch {input_ids.shape[0]} != engine batch {self.ecfg.batch}"
+            )
+        if input_ids.shape[1] > self.ecfg.s_max:
+            raise ValueError(
+                f"prompt length {input_ids.shape[1]} exceeds cache s_max "
+                f"{self.ecfg.s_max}"
+            )
+        if cache is None:
+            cache = self.init_cache()
+        return self._prefill_jit(self.params, cache, input_ids)
+
+    def decode(self, token_ids, cache):
+        # dynamic_update_slice silently clamps at the end of the buffer,
+        # which would corrupt the last cache slot -- guard on the host.
+        if int(cache["length"]) >= self.ecfg.s_max:
+            raise ValueError(
+                f"cache full: length {int(cache['length'])} == s_max "
+                f"{self.ecfg.s_max}"
+            )
+        return self._decode_jit(self.params, cache, jnp.asarray(token_ids))
+
+    def generate(self, input_ids, max_new_tokens: int, greedy: bool = True,
+                 eos_token_id: Optional[int] = None):
+        """Greedy generation loop (reference run_long_bench.py:63-81 uses HF
+        greedy generate)."""
+        input_ids = np.asarray(input_ids)
+        logits, cache = self.prefill(input_ids)
+        out_tokens = []
+        next_tok = np.asarray(jnp.argmax(logits[:, -1], axis=-1))[:, None]
+        for _ in range(max_new_tokens):
+            out_tokens.append(next_tok)
+            if eos_token_id is not None and (next_tok == eos_token_id).all():
+                break
+            logits, cache = self.decode(next_tok, cache)
+            next_tok = np.asarray(jnp.argmax(logits[:, -1], axis=-1))[:, None]
+        return np.concatenate(out_tokens, axis=1)

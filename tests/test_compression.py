@@ -1,0 +1,214 @@
+"""Tests for the compression pipeline: rank search semantics, fisher calib,
+whiten calib, end-to-end compress transform."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from palu_tpu.compression import (
+    calib_fisher_info,
+    compress_params,
+    fisher_group_means,
+    rank_search,
+    rounding_search_result,
+    search_ranks,
+    split_values,
+    synthetic_batches,
+    whiten_scale_matrices,
+)
+from palu_tpu.models import ModelConfig, llama
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def test_rounding_search_result():
+    out = rounding_search_result({"a": [33.0, 48.1, 1.0]}, block_size=32)
+    assert out["a"] == [32, 64, 32]
+
+
+def test_split_values():
+    out = split_values({"a": [128.0]}, 2)
+    assert out["a"] == [64.0, 64.0]
+
+
+def test_uniform_rank_search():
+    cfg = _tiny_cfg()
+    names = ["model.layers.0.self_attn.k_proj", "model.layers.0.self_attn.v_proj"]
+    select, rank_sum, total = rank_search(
+        cfg, names, param_ratio_target=0.7, search_method="uniform", head_group_size=2
+    )
+    # group_dim = 2 heads * 8 head_dim = 16; 0.7*16 = 11.2 -> rounds to 32 (min block)
+    assert all(len(v) == 2 for v in select.values())
+    assert total == 2 * 16 * 2
+
+
+def test_fisher_uniform_rank_search_budget():
+    cfg = _tiny_cfg(
+        hidden_size=256, num_attention_heads=8, num_key_value_heads=8
+    )  # head_dim 32, layer kv dim 256
+    names = [f"model.layers.{i}.self_attn.k_proj" for i in range(4)]
+    # strongly uneven fisher -> uneven per-layer ranks
+    fisher_means = {n: [float(2.0**i)] for i, n in enumerate(names)}
+    select, rank_sum, total = rank_search(
+        cfg,
+        names,
+        param_ratio_target=0.5,
+        search_method="fisher_uniform",
+        head_group_size=4,
+        fisher_means=fisher_means,
+    )
+    assert total == 4 * 256
+    # each layer splits into 8//4 = 2 groups, uniform within layer
+    for n in names:
+        assert len(select[n]) == 2
+        assert len(set(select[n])) == 1
+    # more fisher -> more rank
+    ranks = [select[n][0] for n in names]
+    assert ranks == sorted(ranks)
+    # budget approximately respected (rounding to 32 adds slack)
+    assert abs(rank_sum - 0.5 * total) <= 32 * len(names) * 2
+
+
+def test_fisher_calibration_runs_and_orders():
+    cfg = _tiny_cfg()
+    params = llama.init_params(cfg, jax.random.key(0))
+    batches = synthetic_batches(cfg.vocab_size, nsamples=2, seqlen=16)
+    fisher = calib_fisher_info(params, cfg, batches)
+    assert len(fisher) == 2 * cfg.num_hidden_layers
+    for name, mat in fisher.items():
+        assert mat.shape == (32, 32)
+        assert np.isfinite(mat).all()
+        assert (mat >= 0).all()
+    means = fisher_group_means(fisher, 2)
+    assert all(len(v) == 2 for v in means.values())
+
+
+def test_whiten_scales_shapes():
+    cfg = _tiny_cfg()
+    params = llama.init_params(cfg, jax.random.key(1))
+    batches = synthetic_batches(cfg.vocab_size, nsamples=2, seqlen=16)
+    scales = whiten_scale_matrices(params, cfg, batches)
+    assert len(scales) == cfg.num_hidden_layers
+    for s in scales:
+        assert s.shape == (32, 32)
+        # lower-triangular cholesky factor
+        assert np.allclose(s, np.tril(s))
+
+
+@pytest.mark.parametrize("method", ["svd", "whiten"])
+def test_compress_end_to_end_full_rank(method):
+    """Full-rank compression must preserve logits (exactness property)."""
+    cfg = _tiny_cfg(num_hidden_layers=1)
+    params = llama.init_params(cfg, jax.random.key(2))
+    batches = synthetic_batches(cfg.vocab_size, nsamples=2, seqlen=16)
+    gs = 2
+    full_rank = gs * cfg.head_dim  # 16
+    selection = {
+        "model.layers.0.self_attn.k_proj": [full_rank, full_rank],
+        "model.layers.0.self_attn.v_proj": [full_rank, full_rank],
+    }
+    new_params, new_cfg = compress_params(
+        params,
+        cfg,
+        selection,
+        decompose_method=method,
+        head_group_size=gs,
+        calib_batches=batches,
+    )
+    assert new_cfg.head_wise_ranks == selection
+    ids = jnp.asarray(synthetic_batches(cfg.vocab_size, 1, 12, seed=9)[0])
+    base = np.asarray(llama.forward(params, ids, cfg))
+    comp = np.asarray(llama.forward(new_params, ids, new_cfg))
+    assert np.allclose(comp, base, atol=1e-2), np.abs(comp - base).max()
+    # fused value path agrees too
+    fused = np.asarray(llama.forward(new_params, ids, new_cfg, value_mode="fused"))
+    assert np.allclose(fused, base, atol=1e-2), np.abs(fused - base).max()
+
+
+def test_compress_lowrank_whiten_beats_svd_on_calib_distribution():
+    """At a reducing rank, whiten (data-aware) should fit the calibration
+    distribution at least as well as plain SVD (SVD-LLM property)."""
+    cfg = _tiny_cfg(num_hidden_layers=1, hidden_size=64, intermediate_size=96)
+    params = llama.init_params(cfg, jax.random.key(3))
+    batches = synthetic_batches(cfg.vocab_size, nsamples=4, seqlen=32)
+    selection = {
+        "model.layers.0.self_attn.k_proj": [8, 8],
+        "model.layers.0.self_attn.v_proj": [8, 8],
+    }
+    ids = jnp.asarray(batches[0])
+    base = np.asarray(llama.forward(params, ids, cfg))
+
+    errs = {}
+    for method in ("svd", "whiten"):
+        new_params, new_cfg = compress_params(
+            params,
+            cfg,
+            selection,
+            decompose_method=method,
+            head_group_size=2,
+            calib_batches=batches,
+        )
+        out = np.asarray(llama.forward(new_params, ids, new_cfg))
+        errs[method] = np.abs(out - base).mean()
+    # whiten should not be dramatically worse; typically better
+    assert errs["whiten"] <= errs["svd"] * 1.5, errs
+
+
+def test_search_ranks_with_fisher_uniform_e2e():
+    cfg = _tiny_cfg()
+    params = llama.init_params(cfg, jax.random.key(4))
+    batches = synthetic_batches(cfg.vocab_size, nsamples=2, seqlen=16)
+    select = search_ranks(
+        params,
+        cfg,
+        param_ratio_target=0.7,
+        search_method="fisher_uniform",
+        head_group_size=2,
+        calib_batches=batches,
+    )
+    assert len(select) == 2 * cfg.num_hidden_layers
+    for v in select.values():
+        assert len(v) == 2  # 4 kv heads / group size 2
+        assert all(r % 32 == 0 for r in v)
+
+
+def test_compress_with_hadamard_preserves_logits():
+    cfg = _tiny_cfg(num_hidden_layers=1)
+    params = llama.init_params(cfg, jax.random.key(5))
+    gs = 2
+    full_rank = gs * cfg.head_dim
+    selection = {
+        "model.layers.0.self_attn.k_proj": [full_rank, full_rank],
+        "model.layers.0.self_attn.v_proj": [full_rank, full_rank],
+    }
+    a, a_cfg = compress_params(
+        params, cfg, selection, decompose_method="svd", head_group_size=gs
+    )
+    b, b_cfg = compress_params(
+        params, cfg, selection, decompose_method="svd", head_group_size=gs, hadamard=True
+    )
+    ids = jnp.asarray(synthetic_batches(cfg.vocab_size, 1, 12, seed=8)[0])
+    la = np.asarray(llama.forward(a, ids, a_cfg))
+    lb = np.asarray(llama.forward(b, ids, b_cfg))
+    assert np.allclose(la, lb, atol=1e-2), np.abs(la - lb).max()
+    # rotation actually applied
+    assert not np.allclose(
+        np.asarray(a["layers"][0]["attn"]["k_proj"]["VT"]),
+        np.asarray(b["layers"][0]["attn"]["k_proj"]["VT"]),
+    )

@@ -1,0 +1,201 @@
+"""Golden tests: our functional JAX llama-family forward vs HF transformers
+(torch CPU) on tiny random models, plus low-rank equivalence properties."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from palu_tpu.models import ModelConfig, hf_io, llama
+from palu_tpu.core import lowrank
+
+
+def _tiny_hf_dir(tmp_path, family="llama", kv_heads=4):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    from transformers import MistralConfig, MistralForCausalLM
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(0)
+    common = dict(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=kv_heads,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    if family == "llama":
+        cfg = LlamaConfig(**common)
+        model = LlamaForCausalLM(cfg)
+    elif family == "mistral":
+        cfg = MistralConfig(**common, sliding_window=16)
+        model = MistralForCausalLM(cfg)
+    elif family == "qwen2":
+        cfg = Qwen2Config(**common)
+        model = Qwen2ForCausalLM(cfg)
+    else:
+        raise ValueError(family)
+    model = model.eval().float()
+    d = tmp_path / f"hf_{family}_{kv_heads}"
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+@pytest.mark.parametrize("family,kv_heads", [("llama", 4), ("llama", 2), ("mistral", 2), ("qwen2", 4)])
+def test_forward_matches_transformers(tmp_path, family, kv_heads):
+    import torch
+
+    model_dir, torch_model = _tiny_hf_dir(tmp_path, family, kv_heads)
+    params, cfg = hf_io.load_params(model_dir, dtype=jnp.float32)
+    assert cfg.model_family == family
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, size=(2, 24))
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(ids)).logits.numpy()
+    ours = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
+    assert np.allclose(ours, ref, atol=2e-3), np.abs(ours - ref).max()
+
+
+def _lowrank_params(params, cfg, rank):
+    """Replace k/v projections with rank-`rank` low-rank versions, and record
+    head_wise_ranks on the config."""
+    import dataclasses
+
+    hwr = {}
+    new_layers = []
+    g = cfg.num_kv_groups
+    for i, layer in enumerate(params["layers"]):
+        attn = dict(layer["attn"])
+        for which in ("k_proj", "v_proj"):
+            w = np.asarray(attn[which]["w"]).T  # (out, in) for decomposition
+            bias = attn[which].get("b")
+            bias_np = None if bias is None else np.asarray(bias)
+            lr = lowrank.decompose_svd(w, ranks=[rank] * g, bias=bias_np)
+            p = {
+                "VT": jnp.asarray(lr.VT.T),  # (in, G*r)
+                "U": jnp.asarray(np.stack([u.T for u in lr.U])),  # (G, r, d)
+            }
+            if lr.bias is not None:
+                p["b"] = jnp.asarray(np.stack(lr.bias))
+            attn[which] = p
+            hwr[f"model.layers.{i}.self_attn.{which}"] = [rank] * g
+        attn["o_proj"] = dict(attn["o_proj"])
+        attn["o_proj"]["w_fused"] = llama.fuse_o_proj(
+            np.asarray(attn["o_proj"]["w"]), np.asarray(attn["v_proj"]["U"]), cfg
+        )
+        new_layers.append({**layer, "attn": attn})
+    new_params = {**params, "layers": new_layers}
+    new_cfg = dataclasses.replace(cfg, head_wise_ranks=hwr)
+    return new_params, new_cfg
+
+
+@pytest.mark.parametrize("kv_heads,group_size", [(4, 2), (2, 1)])
+def test_full_rank_lowrank_matches_dense(tmp_path, kv_heads, group_size):
+    import dataclasses
+
+    model_dir, _ = _tiny_hf_dir(tmp_path, "llama", kv_heads)
+    params, cfg = hf_io.load_params(model_dir, dtype=jnp.float32)
+    cfg = dataclasses.replace(cfg, head_group_size=group_size)
+    full_rank = cfg.group_dim  # full rank per group -> exact reconstruction
+    lr_params, lr_cfg = _lowrank_params(params, cfg, full_rank)
+
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, cfg.vocab_size, (1, 16)))
+    dense_logits = np.asarray(llama.forward(params, ids, cfg))
+    lr_logits = np.asarray(llama.forward(lr_params, ids, lr_cfg))
+    assert np.allclose(lr_logits, dense_logits, atol=5e-3), np.abs(lr_logits - dense_logits).max()
+
+
+def test_fused_value_path_matches_reconstruct(tmp_path):
+    """The latent-V + fused-o_proj path is algebraically identical to
+    reconstruct-V + dense o_proj (kernel/palu_attention.py:241-257)."""
+    import dataclasses
+
+    model_dir, _ = _tiny_hf_dir(tmp_path, "llama", 4)
+    params, cfg = hf_io.load_params(model_dir, dtype=jnp.float32)
+    cfg = dataclasses.replace(cfg, head_group_size=2)
+    lr_params, lr_cfg = _lowrank_params(params, cfg, 8)  # genuinely low rank
+
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, cfg.vocab_size, (1, 12)))
+    rec = np.asarray(llama.forward(lr_params, ids, lr_cfg, value_mode="reconstruct"))
+    fused = np.asarray(llama.forward(lr_params, ids, lr_cfg, value_mode="fused"))
+    assert np.allclose(rec, fused, atol=2e-3), np.abs(rec - fused).max()
+
+
+def test_quantize_latent_hook_changes_logits(tmp_path):
+    from palu_tpu.core import quant
+
+    model_dir, _ = _tiny_hf_dir(tmp_path, "llama", 4)
+    params, cfg = hf_io.load_params(model_dir, dtype=jnp.float32)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, head_group_size=2)
+    lr_params, lr_cfg = _lowrank_params(params, cfg, 16)
+    qcfg = quant.QuantConfig(bits=3, group_size=0, sym=False)
+
+    def qfn(lat):
+        return quant.fake_quantize(lat, qcfg)
+
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, cfg.vocab_size, (1, 12)))
+    base = np.asarray(llama.forward(lr_params, ids, lr_cfg))
+    quantized = np.asarray(llama.forward(lr_params, ids, lr_cfg, quantize_latent=qfn))
+    # quantization perturbs but does not destroy
+    assert not np.allclose(quantized, base)
+    assert np.abs(quantized - base).max() < 10.0
+
+
+def test_checkpoint_export_import_roundtrip(tmp_path):
+    import dataclasses
+
+    model_dir, _ = _tiny_hf_dir(tmp_path, "llama", 4)
+    params, cfg = hf_io.load_params(model_dir, dtype=jnp.float32)
+    cfg = dataclasses.replace(cfg, head_group_size=2)
+    lr_params, lr_cfg = _lowrank_params(params, cfg, 16)
+
+    out_dir = str(tmp_path / "palu_ckpt")
+    hf_io.save_checkpoint(lr_params, lr_cfg, out_dir, "tiny", dtype=np.float32)
+
+    with open(os.path.join(out_dir, "config.json")) as f:
+        raw = json.load(f)
+    assert raw["model_type"] == "palullama"
+    assert raw["architectures"] == ["PaluLlamaForCausalLM"]
+    assert raw["head_wise_ranks"]
+
+    params2, cfg2 = hf_io.load_params(out_dir, dtype=jnp.float32)
+    assert cfg2.head_wise_ranks == lr_cfg.head_wise_ranks
+    ids = jnp.asarray(np.random.default_rng(4).integers(0, cfg.vocab_size, (1, 8)))
+    a = np.asarray(llama.forward(lr_params, ids, lr_cfg))
+    b = np.asarray(llama.forward(params2, ids, cfg2))
+    assert np.allclose(a, b, atol=1e-4)
+
+
+def test_init_params_shapes():
+    cfg = ModelConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        head_group_size=2,
+        head_wise_ranks={
+            "model.layers.0.self_attn.k_proj": [8, 8],
+            "model.layers.0.self_attn.v_proj": [8, 8],
+        },
+    )
+    params = llama.init_params(cfg, jax.random.key(0))
+    attn = params["layers"][0]["attn"]
+    assert attn["k_proj"]["VT"].shape == (32, 16)
+    assert attn["k_proj"]["U"].shape == (2, 8, 16)
+    assert attn["o_proj"]["w_fused"].shape == (4 * 8, 32)
+    logits = llama.forward(params, jnp.zeros((1, 4), jnp.int32), cfg)
+    assert logits.shape == (1, 4, 64)
