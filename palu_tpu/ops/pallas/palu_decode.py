@@ -7,7 +7,7 @@ kernel/palu_attention.py:207-251), this kernel performs the *entire* decode
 attention in one pass over HBM:
 
     per sequence block:
-        K-block reconstruct:  xb = x_k_blk @ B_h            (MXU)
+        K-block reconstruct:  xb = x_k_blk @ B            (MXU)
         on-the-fly RoPE:      cos/sin from absolute block positions,
                               computed in-kernel (the abx_rope.py:20-27
                               idea, but parameterized -- no hardcoded
@@ -18,6 +18,15 @@ attention in one pass over HBM:
 so each latent-cache byte is read exactly once per decode step: the kernel is
 HBM-bandwidth-bound at ~(r_k + r_v) elements/token/layer, the scheme's
 theoretical minimum (vs 2 * n_kv_heads * head_dim for a dense KV cache).
+
+MXU-native formulation (everything is a matmul, no per-head vector dots --
+Mosaic cannot lower lane-dim vector reductions):
+  - B is pre-split on the host into the two RoPE halves, columns grouped as
+    [head, half-dim]:  B1, B2: (rk, hpg*half)
+  - the query enters as two block-diagonal matrices Q1,Q2 (hpg*half, hpg)
+    so `logits = r1 @ Q1 + r2 @ Q2` computes every head's dot at once
+  - the accumulator is kept transposed (rv, hpg) so the value update is
+    `xv^T @ p` and the running rescale broadcasts over sublanes.
 
 The *_quantized variant reads an int-packed cache (2/3/4-bit planar codes
 from palu_tpu.core.quant) and fuses dequantization into the same pass -- the
@@ -40,21 +49,55 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...core.quant import QuantConfig, packed_nbytes
 
-__all__ = ["palu_flash_decode", "palu_flash_decode_quantized"]
+__all__ = [
+    "palu_flash_decode",
+    "palu_flash_decode_quantized",
+    "split_b_halves",
+]
 
 
-def _rope_tables(pos_start, block, half, theta):
-    """cos/sin (block, half) for absolute positions [pos_start, pos_start+block)."""
+def split_b_halves(b_k: jax.Array) -> tuple:
+    """(G, hpg, rk, hd) -> (B1, B2) each (G, rk, hpg*half): per-head columns
+    for the first/second RoPE half of the head dim."""
+    g, hpg, rk, hd = b_k.shape
+    half = hd // 2
+    b1 = b_k[..., :half].transpose(0, 2, 1, 3).reshape(g, rk, hpg * half)
+    b2 = b_k[..., half:].transpose(0, 2, 1, 3).reshape(g, rk, hpg * half)
+    return b1, b2
+
+
+def _q_blockdiag(q: jax.Array, g: int, hpg: int, half: int) -> tuple:
+    """q (B, nh, hd) -> (Q1, Q2) each (B, G, hpg*half, hpg) block-diagonal:
+    Q1[b, g, j*half+e, j] = q1[b, g, j, e]."""
+    b = q.shape[0]
+    qg = q.reshape(b, g, hpg, 2, half)  # split halves
+    eye = jnp.eye(hpg, dtype=q.dtype)  # (hpg, hpg)
+    # (B, G, hpg, half, hpg): diag over head index
+    q1 = qg[:, :, :, 0, :][..., None] * eye[None, None, :, None, :]
+    q2 = qg[:, :, :, 1, :][..., None] * eye[None, None, :, None, :]
+    return (
+        q1.reshape(b, g, hpg * half, hpg),
+        q2.reshape(b, g, hpg * half, hpg),
+    )
+
+
+def _rope_tables(pos_start, block, half, theta, hpg):
+    """cos/sin (block, hpg*half): per-position tables tiled across heads."""
     exponent = (
-        jax.lax.broadcasted_iota(jnp.float32, (1, half), 1) * (2.0 / (2 * half))
+        jax.lax.broadcasted_iota(jnp.int32, (1, half), 1).astype(jnp.float32)
+        * (2.0 / (2 * half))
     )
     inv_freq = 1.0 / jnp.power(jnp.float32(theta), exponent)  # (1, half)
     pos = (
-        jax.lax.broadcasted_iota(jnp.float32, (block, 1), 0)
+        jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0).astype(jnp.float32)
         + pos_start.astype(jnp.float32)
     )
     freqs = pos * inv_freq  # (block, half)
-    return jnp.cos(freqs), jnp.sin(freqs)
+    cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+    if hpg > 1:
+        cos = jnp.concatenate([cos] * hpg, axis=1)
+        sin = jnp.concatenate([sin] * hpg, axis=1)
+    return cos, sin
 
 
 def _unpack_block(codes_i32, bits: int, rank: int):
@@ -66,7 +109,7 @@ def _unpack_block(codes_i32, bits: int, rank: int):
     if bits in (2, 4):
         s = 8 // bits
         mask = 2**bits - 1
-        fields = [ (codes_i32 >> (bits * k)) & mask for k in range(s) ]
+        fields = [(codes_i32 >> (bits * k)) & mask for k in range(s)]
         return jnp.concatenate(fields, axis=-1)
     if bits == 3:
         n4 = rank // 4
@@ -93,12 +136,12 @@ def _make_decode_kernel(
 
     def kernel(*refs):
         if quantized:
-            (kv_len_ref, q_ref, bk_ref,
+            (kv_len_ref, q1_ref, q2_ref, b1_ref, b2_ref,
              xk_codes, xk_scales, xk_base,
              xv_codes, xv_scales, xv_base,
              out_ref, m_scr, l_scr, acc_scr) = refs
         else:
-            (kv_len_ref, q_ref, bk_ref, xk_ref, xv_ref,
+            (kv_len_ref, q1_ref, q2_ref, b1_ref, b2_ref, xk_ref, xv_ref,
              out_ref, m_scr, l_scr, acc_scr) = refs
 
         sblk = pl.program_id(2)
@@ -113,10 +156,10 @@ def _make_decode_kernel(
 
         half = hd // 2
         pos_start = sblk * block_s
-        cos, sin = _rope_tables(jnp.int32(pos_start), block_s, half, theta)
+        cos, sin = _rope_tables(jnp.int32(pos_start), block_s, half, theta, hpg)
 
         pos = jax.lax.broadcasted_iota(jnp.int32, (block_s, 1), 0) + pos_start
-        valid = pos < kv_len
+        valid = pos < kv_len  # (BS, 1)
         if sliding_window is not None:
             valid = jnp.logical_and(valid, pos > (kv_len - 1) - sliding_window)
 
@@ -134,52 +177,50 @@ def _make_decode_kernel(
             x = xk_ref[...].astype(jnp.float32)
             xv = xv_ref[...].astype(jnp.float32)
 
+        # K-block reconstruction for ALL heads: two MXU matmuls
+        xb1 = jnp.dot(x, b1_ref[...].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)  # (BS, hpg*half)
+        xb2 = jnp.dot(x, b2_ref[...].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+        r1 = xb1 * cos - xb2 * sin
+        r2 = xb2 * cos + xb1 * sin
+
+        # logits for all heads at once via block-diagonal Q
         scale = 1.0 / np.sqrt(hd)
+        logits = (
+            jnp.dot(r1, q1_ref[...].astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(r2, q2_ref[...].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+        ) * scale  # (BS, hpg)
+        logits = jnp.where(valid, logits, -1e30)
 
-        for j in range(hpg):  # static unroll over this group's q-heads
-            bkj = bk_ref[j].astype(jnp.float32)  # (rk, hd)
-            xb = jnp.dot(x, bkj, preferred_element_type=jnp.float32)  # (BS, hd)
-            xb1, xb2 = xb[:, :half], xb[:, half:]
-            r1 = xb1 * cos - xb2 * sin
-            r2 = xb2 * cos + xb1 * sin
-            qj = q_ref[j : j + 1, :].astype(jnp.float32)  # (1, hd)
-            q1, q2 = qj[:, :half], qj[:, half:]
-            logits = (
-                jax.lax.dot_general(
-                    r1, q1, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                + jax.lax.dot_general(
-                    r2, q2, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            ) * scale  # (BS, 1)
-            logits = jnp.where(valid, logits, -1e30)
+        m_prev = m_scr[0:1, :]  # (1, hpg)
+        l_prev = l_scr[0:1, :]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=0, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)  # (1, hpg)
+        p = jnp.exp(logits - m_new)  # (BS, hpg)
+        p = jnp.where(valid, p, 0.0)
+        l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
 
-            m_prev = m_scr[j : j + 1, 0:1]  # (1, 1)
-            l_prev = l_scr[j : j + 1, 0:1]
-            m_new = jnp.maximum(m_prev, jnp.max(logits))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(logits - m_new)  # (BS, 1)
-            p = jnp.where(valid, p, 0.0)
-            l_new = l_prev * alpha + jnp.sum(p)
-            pv = jax.lax.dot_general(
-                p, xv, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (1, rv)
-            acc_scr[j : j + 1, :] = acc_scr[j : j + 1, :] * alpha + pv
-            m_scr[j : j + 1, 0:1] = m_new
-            l_scr[j : j + 1, 0:1] = l_new
+        # transposed value update: (rv, BS) @ (BS, hpg) -> (rv, hpg)
+        pv = jax.lax.dot_general(
+            xv, p, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        m_scr[0:1, :] = m_new
+        l_scr[0:1, :] = l_new
 
         @pl.when(sblk == nblk - 1)
         def _finalize():
-            out_ref[...] = (acc_scr[...] / l_scr[:, 0:1]).astype(out_ref.dtype)
+            out_ref[...] = (acc_scr[...] / l_scr[0:1, :]).astype(out_ref.dtype)
 
     return kernel
 
 
 def _common_call(kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra_in_specs,
                  interpret, inputs):
+    half = hd // 2
     grid = (b, g, s_max // block_s)
     out = pl.pallas_call(
         kernel,
@@ -188,26 +229,35 @@ def _common_call(kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra_in_specs,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (None, None, hpg, hd), lambda bi, gi, si, *_: (bi, gi, 0, 0)
+                    (None, None, hpg * half, hpg),
+                    lambda bi, gi, si, *_: (bi, gi, 0, 0),
                 ),
                 pl.BlockSpec(
-                    (None, hpg, rk, hd), lambda bi, gi, si, *_: (gi, 0, 0, 0)
+                    (None, None, hpg * half, hpg),
+                    lambda bi, gi, si, *_: (bi, gi, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (None, rk, hpg * half), lambda bi, gi, si, *_: (gi, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (None, rk, hpg * half), lambda bi, gi, si, *_: (gi, 0, 0)
                 ),
             ]
             + extra_in_specs,
             out_specs=pl.BlockSpec(
-                (None, None, hpg, rv), lambda bi, gi, si, *_: (bi, gi, 0, 0)
+                (None, None, rv, hpg), lambda bi, gi, si, *_: (bi, gi, 0, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((hpg, 128), jnp.float32),
-                pltpu.VMEM((hpg, 128), jnp.float32),
-                pltpu.VMEM((hpg, rv), jnp.float32),
+                pltpu.VMEM((8, hpg), jnp.float32),
+                pltpu.VMEM((8, hpg), jnp.float32),
+                pltpu.VMEM((rv, hpg), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, g, hpg, rv), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, g, rv, hpg), jnp.float32),
         interpret=interpret,
     )(*inputs)
-    return out.reshape(b, g * hpg, rv)
+    # (B, G, rv, hpg) -> (B, nh, rv)
+    return out.transpose(0, 1, 3, 2).reshape(b, g * hpg, rv)
 
 
 @functools.partial(
@@ -232,6 +282,9 @@ def palu_flash_decode(
     s_max, rv = x_k.shape[2], x_v.shape[3]
     assert nh == g * hpg and s_max % block_s == 0, (nh, g, hpg, s_max, block_s)
 
+    b1, b2 = split_b_halves(b_k)
+    q1, q2 = _q_blockdiag(q, g, hpg, hd // 2)
+
     kernel = _make_decode_kernel(
         block_s=block_s, theta=theta, hd=hd, hpg=hpg,
         sliding_window=sliding_window, qcfg=None, rk=rk, rv=rv,
@@ -242,13 +295,7 @@ def palu_flash_decode(
     ]
     return _common_call(
         kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra, interpret,
-        (
-            jnp.asarray(kv_len, jnp.int32).reshape(1),
-            q.reshape(b, g, hpg, hd),
-            b_k,
-            x_k,
-            x_v,
-        ),
+        (jnp.asarray(kv_len, jnp.int32).reshape(1), q1, q2, b1, b2, x_k, x_v),
     )
 
 
@@ -285,26 +332,25 @@ def palu_flash_decode_quantized(
     nbv = packed_nbytes(rv, qcfg.bits)
     assert xk_codes.shape[3] == nbk and xv_codes.shape[3] == nbv
 
+    b1, b2 = split_b_halves(b_k)
+    q1, q2 = _q_blockdiag(q, g, hpg, hd // 2)
+
     kernel = _make_decode_kernel(
         block_s=block_s, theta=theta, hd=hd, hpg=hpg,
         sliding_window=sliding_window, qcfg=qcfg, rk=rk, rv=rv,
     )
 
-    def blk(last, name_dim):
+    def blk(last):
         return pl.BlockSpec(
             (None, None, block_s, last), lambda bi, gi, si, *_: (bi, gi, si, 0)
         )
 
-    extra = [
-        blk(nbk, "kc"), blk(1, "ks"), blk(1, "kb"),
-        blk(nbv, "vc"), blk(1, "vs"), blk(1, "vb"),
-    ]
+    extra = [blk(nbk), blk(1), blk(1), blk(nbv), blk(1), blk(1)]
     return _common_call(
         kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra, interpret,
         (
             jnp.asarray(kv_len, jnp.int32).reshape(1),
-            q.reshape(b, g, hpg, hd),
-            b_k,
+            q1, q2, b1, b2,
             xk_codes, xk_scales, xk_base,
             xv_codes, xv_scales, xv_base,
         ),

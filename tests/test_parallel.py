@@ -1,0 +1,79 @@
+"""Multi-chip sharding tests on the 8-virtual-CPU-device mesh: the same
+program on 1 chip and on a (data, model) mesh must produce identical numbers
+(SURVEY.md section 4 test strategy)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from palu_tpu.compression import compress_params
+from palu_tpu.core.quant import QuantConfig
+from palu_tpu.models import ModelConfig, llama
+from palu_tpu.parallel import make_mesh, param_shardings, cache_shardings, shard_tree
+from palu_tpu.runtime.engine import Engine, EngineConfig
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _model(seed=0):
+    cfg = ModelConfig(
+        vocab_size=64,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        max_position_embeddings=64,
+    )
+    params = llama.init_params(cfg, jax.random.key(seed))
+    selection = {}
+    for i in range(cfg.num_hidden_layers):
+        selection[f"model.layers.{i}.self_attn.k_proj"] = [8] * 4
+        selection[f"model.layers.{i}.self_attn.v_proj"] = [8] * 4
+    return compress_params(params, cfg, selection, "svd", head_group_size=2)
+
+
+def test_forward_sharded_matches_single():
+    params, cfg = _model()
+    mesh = make_mesh(data=2, model=4)
+    ids = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 12))
+
+    single = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
+
+    sharded_params = shard_tree(params, param_shardings(params, mesh))
+    with jax.set_mesh(mesh):
+        out = jax.jit(lambda p, i: llama.forward(p, i, cfg))(
+            sharded_params, jnp.asarray(ids)
+        )
+    assert np.allclose(np.asarray(out), single, atol=2e-3), np.abs(out - single).max()
+
+
+def test_engine_sharded_matches_single():
+    params, cfg = _model(seed=1)
+    ids = np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 12))
+
+    ecfg = EngineConfig(s_max=16, batch=2, dtype=jnp.float32, decode_chunk=8)
+    eng = Engine(params, cfg, ecfg)
+    logits1, cache1 = eng.prefill(ids)
+    step1, _ = eng.decode(np.asarray([[3], [5]]), cache1)
+
+    mesh = make_mesh(data=2, model=4)
+    sharded_params = shard_tree(params, param_shardings(params, mesh))
+    eng2 = Engine(sharded_params, cfg, ecfg)
+    cache0 = shard_tree(eng2.init_cache(), cache_shardings(eng2.init_cache(), mesh))
+    logits2, cache2 = eng2.prefill(ids, cache0)
+    step2, _ = eng2.decode(np.asarray([[3], [5]]), cache2)
+
+    assert np.allclose(np.asarray(logits1), np.asarray(logits2), atol=2e-3)
+    assert np.allclose(np.asarray(step1), np.asarray(step2), atol=2e-3), np.abs(
+        np.asarray(step1) - np.asarray(step2)
+    ).max()
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(data=4, model=4)  # 16 > 8 devices
