@@ -1,0 +1,190 @@
+"""Headline benchmark: Palu latent-KV decode vs dense-KV decode on one TPU
+chip, at the reference's canonical operating point (run_latency_attention.py
+README.md:117-121: 32 heads, head_dim 128, rank_k 1024, rank_v 3072, head
+group size 4, prompt 65536, bs 1, 100 timed decode steps).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+where value = Palu attention-module decode throughput (tokens/s) and
+vs_baseline = speedup over the dense-KV (fp16/bf16) attention baseline on
+the same chip. The reference publishes no absolute numbers (BASELINE.md), so
+the dense baseline measured on identical hardware is the comparison point.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _setup_jax():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return jax
+
+
+def bench_attention_module(
+    jax,
+    prompt_len=65536,
+    num_heads=32,
+    head_dim=128,
+    group_size=4,
+    total_rank_k=1024,
+    total_rank_v=3072,
+    n_steps=100,
+    warmup=5,
+    block_s=1024,
+    log=print,
+):
+    import jax.numpy as jnp
+
+    from palu_tpu.ops.pallas.palu_decode import palu_flash_decode, split_b_halves
+
+    g = num_heads // group_size
+    hpg = num_heads // g
+    rk = total_rank_k // g
+    rv = total_rank_v // g
+    hidden = num_heads * head_dim
+    s_max = (prompt_len + n_steps + block_s) // block_s * block_s
+
+    rng = np.random.default_rng(0)
+    bf = jnp.bfloat16
+    wq = jnp.asarray(rng.standard_normal((hidden, hidden)) * 0.02, bf)
+    vt_k = jnp.asarray(rng.standard_normal((hidden, g * rk)) * 0.02, bf)
+    vt_v = jnp.asarray(rng.standard_normal((hidden, g * rv)) * 0.02, bf)
+    b_k = jnp.asarray(rng.standard_normal((g, hpg, rk, head_dim)) * 0.05, bf)
+    wo_fused = jnp.asarray(rng.standard_normal((num_heads * rv, hidden)) * 0.02, bf)
+    wk_dense = jnp.asarray(rng.standard_normal((hidden, hidden)) * 0.02, bf)
+    wv_dense = jnp.asarray(rng.standard_normal((hidden, hidden)) * 0.02, bf)
+    wo_dense = jnp.asarray(rng.standard_normal((hidden, hidden)) * 0.02, bf)
+
+    # ---- palu step: project -> append latents -> fused kernel -> o_fused ----
+    def palu_step(x, xk, xv, pos):
+        q = (x @ wq).reshape(1, num_heads, head_dim)
+        # rope on q at pos
+        half = head_dim // 2
+        inv = 1.0 / (10000.0 ** (jnp.arange(half, dtype=jnp.float32) * 2 / head_dim))
+        f = pos.astype(jnp.float32) * inv
+        cos, sin = jnp.cos(f), jnp.sin(f)
+        cos2 = jnp.concatenate([cos, cos])[None, None, :]
+        sin2 = jnp.concatenate([sin, sin])[None, None, :]
+        qf = q.astype(jnp.float32)
+        rot = jnp.concatenate([-qf[..., half:], qf[..., :half]], axis=-1)
+        q = (qf * cos2 + rot * sin2).astype(bf)
+        lat_k = (x @ vt_k).reshape(1, g, 1, rk)
+        lat_v = (x @ vt_v).reshape(1, g, 1, rv)
+        xk = jax.lax.dynamic_update_slice(xk, lat_k, (0, 0, pos, 0))
+        xv = jax.lax.dynamic_update_slice(xv, lat_v, (0, 0, pos, 0))
+        out = palu_flash_decode(q, b_k, xk, xv, pos + 1, block_s=block_s)
+        y = out.astype(bf).reshape(1, num_heads * rv) @ wo_fused
+        return y, xk, xv
+
+    palu_jit = jax.jit(palu_step, donate_argnums=(1, 2))
+
+    # ---- dense step: project -> rope -> append KV -> flash decode -> o ----
+    def dense_step(x, kc, vc, pos):
+        q = (x @ wq).reshape(1, num_heads, 1, head_dim)
+        k = (x @ wk_dense).reshape(1, num_heads, 1, head_dim)
+        v = (x @ wv_dense).reshape(1, num_heads, 1, head_dim)
+        half = head_dim // 2
+        inv = 1.0 / (10000.0 ** (jnp.arange(half, dtype=jnp.float32) * 2 / head_dim))
+        f = pos.astype(jnp.float32) * inv
+        cos = jnp.concatenate([jnp.cos(f), jnp.cos(f)])[None, None, None, :]
+        sin = jnp.concatenate([jnp.sin(f), jnp.sin(f)])[None, None, None, :]
+
+        def rope(t):
+            tf = t.astype(jnp.float32)
+            rot = jnp.concatenate([-tf[..., half:], tf[..., :half]], axis=-1)
+            return (tf * cos + rot * sin).astype(bf)
+
+        q, k = rope(q), rope(k)
+        kc = jax.lax.dynamic_update_slice(kc, k, (0, 0, pos, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v, (0, 0, pos, 0))
+        chunk = block_s
+
+        def body(carry, i):
+            m, l, acc = carry
+            kb = jax.lax.dynamic_slice_in_dim(kc, i * chunk, chunk, 2)
+            vb = jax.lax.dynamic_slice_in_dim(vc, i * chunk, chunk, 2)
+            lg = jnp.einsum(
+                "bhqd,bhcd->bhqc", q.astype(jnp.float32), kb.astype(jnp.float32)
+            ) / np.sqrt(head_dim)
+            posv = i * chunk + jnp.arange(chunk)
+            ok = posv <= pos
+            lg = jnp.where(ok[None, None, None], lg, -1e30)
+            mn = jnp.maximum(m, lg.max(-1))
+            al = jnp.exp(m - mn)
+            p = jnp.exp(lg - mn[..., None])
+            p = jnp.where(ok[None, None, None], p, 0.0)
+            ln = l * al + p.sum(-1)
+            pv = jnp.einsum("bhqc,bhcd->bhqd", p, vb.astype(jnp.float32))
+            return (mn, ln, acc * al[..., None] + pv), None
+
+        m0 = jnp.full((1, num_heads, 1), -1e30, jnp.float32)
+        l0 = jnp.zeros((1, num_heads, 1), jnp.float32)
+        a0 = jnp.zeros((1, num_heads, 1, head_dim), jnp.float32)
+        (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), jnp.arange(s_max // chunk))
+        out = (acc / l[..., None]).astype(bf).reshape(1, hidden)
+        return out @ wo_dense, kc, vc
+
+    dense_jit = jax.jit(dense_step, donate_argnums=(1, 2))
+
+    def run(step, bufs):
+        x = jnp.asarray(rng.standard_normal((1, hidden)) * 0.1, bf)
+        pos = jnp.asarray(prompt_len, jnp.int32)
+        for i in range(warmup):
+            y, *bufs = step(x, *bufs, pos + i)
+        y.block_until_ready()
+        times = []
+        for i in range(n_steps):
+            t0 = time.perf_counter()
+            y, *bufs = step(x, *bufs, pos + warmup + i)
+            y.block_until_ready()
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times) * 1e3)
+
+    log(f"# compiling palu step (s_max={s_max})...", file=sys.stderr)
+    xk0 = jnp.zeros((1, g, s_max, rk), bf)
+    xv0 = jnp.zeros((1, g, s_max, rv), bf)
+    palu_ms = run(palu_jit, [xk0, xv0])
+    log(f"# palu TPOT: {palu_ms:.3f} ms", file=sys.stderr)
+
+    log("# compiling dense step...", file=sys.stderr)
+    kc0 = jnp.zeros((1, num_heads, s_max, head_dim), bf)
+    vc0 = jnp.zeros((1, num_heads, s_max, head_dim), bf)
+    dense_ms = run(dense_jit, [kc0, vc0])
+    log(f"# dense TPOT: {dense_ms:.3f} ms", file=sys.stderr)
+    return palu_ms, dense_ms
+
+
+def main():
+    jax = _setup_jax()
+    prompt_len = int(os.environ.get("BENCH_PROMPT_LEN", 65536))
+    n_steps = int(os.environ.get("BENCH_STEPS", 100))
+
+    def log(*a, **k):
+        print(*a, **k)
+        sys.stderr.flush()
+
+    palu_ms, dense_ms = bench_attention_module(
+        jax, prompt_len=prompt_len, n_steps=n_steps, log=log
+    )
+    result = {
+        "metric": "palu attention decode tokens/s at 64K prompt (rank_k 1024, rank_v 3072, gs 4, bf16, 1 chip)",
+        "value": round(1000.0 / palu_ms, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(dense_ms / palu_ms, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""LongBench metric functions (reference longbench_utils/metrics.py,
+adapted from THUDM/LongBench).
+
+Differences from the reference's dependency stack: `fuzzywuzzy` is not in
+this image, so `_fuzz_ratio` implements the same Levenshtein similarity
+ratio directly; everything else (rouge, jieba) matches.
+"""
+
+from __future__ import annotations
+
+import difflib
+import re
+import string
+from collections import Counter
+from typing import List
+
+__all__ = ["dataset2metric", "normalize_answer", "normalize_zh_answer"]
+
+
+def normalize_answer(s: str) -> str:
+    """Lower text and remove punctuation, articles and extra whitespace."""
+
+    def remove_articles(text):
+        return re.sub(r"\b(a|an|the)\b", " ", text)
+
+    def white_space_fix(text):
+        return " ".join(text.split())
+
+    def remove_punc(text):
+        exclude = set(string.punctuation)
+        return "".join(ch for ch in text if ch not in exclude)
+
+    return white_space_fix(remove_articles(remove_punc(s.lower())))
+
+
+def normalize_zh_answer(s: str) -> str:
+    """Lower text and remove (cn + ascii) punctuation and whitespace."""
+    cn_punctuation = (
+        "！？｡。＂＃＄％＆＇（）＊＋，－／：；＜＝＞＠［＼］＾＿｀｛｜｝～｟｠｢｣､、〃》「」"
+        "『』【】〔〕〖〗〘〙〚〛〜〝〞〟〰〾〿–—‘’‛“”„‟…‧﹏."
+    )
+    all_punct = set(string.punctuation + cn_punctuation)
+    s = "".join(ch for ch in s.lower() if ch not in all_punct)
+    return "".join(s.split())
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _fuzz_ratio(a: str, b: str) -> float:
+    """fuzzywuzzy.fuzz.ratio equivalent: 100 * (1 - lev/(len_a+len_b))
+    using the InDel ratio (substitution counts as 2)."""
+    if not a and not b:
+        return 100.0
+    # fuzz.ratio is the Indel ratio: matches difflib ratio computed over
+    # the Levenshtein alignment; use 2*M/T formulation via edit distance
+    # with substitutions weighted 2 (i.e., LCS-style).
+    lcs = _lcs_len(a, b)
+    return 200.0 * lcs / (len(a) + len(b))
+
+
+def _lcs_len(a, b) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        for j, cb in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if ca == cb else max(prev[j], cur[j - 1]))
+        prev = cur
+    return prev[-1]
+
+
+def count_score(prediction, ground_truth, **kwargs) -> float:
+    numbers = re.findall(r"\d+", prediction)
+    right = sum(1 for n in numbers if str(n) == str(ground_truth))
+    return 0.0 if not numbers else right / len(numbers)
+
+
+def retrieval_score(prediction, ground_truth, **kwargs) -> float:
+    matches = re.findall(r"Paragraph (\d+)", ground_truth)
+    gt_id = matches[0]
+    numbers = re.findall(r"\d+", prediction)
+    right = sum(1 for n in numbers if str(n) == str(gt_id))
+    return 0.0 if not numbers else right / len(numbers)
+
+
+def retrieval_zh_score(prediction, ground_truth, **kwargs) -> float:
+    matches = re.findall(r"段落(\d+)", ground_truth)
+    gt_id = matches[0]
+    numbers = re.findall(r"\d+", prediction)
+    right = sum(1 for n in numbers if str(n) == str(gt_id))
+    return 0.0 if not numbers else right / len(numbers)
+
+
+def code_sim_score(prediction, ground_truth, **kwargs) -> float:
+    all_lines = prediction.lstrip("\n").split("\n")
+    prediction = ""
+    for line in all_lines:
+        if ("`" not in line) and ("#" not in line) and ("//" not in line):
+            prediction = line
+            break
+    return _fuzz_ratio(prediction, ground_truth) / 100
+
+
+def classification_score(prediction, ground_truth, **kwargs) -> float:
+    em_match_list = []
+    all_classes = kwargs["all_classes"]
+    for class_name in all_classes:
+        if class_name in prediction:
+            em_match_list.append(class_name)
+    for match_term in list(em_match_list):
+        if match_term in ground_truth and match_term != ground_truth:
+            em_match_list.remove(match_term)
+    if em_match_list:
+        return 1.0 / len(em_match_list) if ground_truth in em_match_list else 0.0
+    best_match = None
+    highest = 0.0
+    for cand in all_classes:
+        sim = difflib.SequenceMatcher(None, cand, prediction).ratio()
+        if sim > highest:
+            highest = sim
+            best_match = cand
+    return float(best_match == ground_truth)
+
+
+def rouge_score(prediction, ground_truth, **kwargs) -> float:
+    try:
+        from rouge import Rouge
+
+        scores = Rouge().get_scores([prediction], [ground_truth], avg=True)
+        return scores["rouge-l"]["f"]
+    except Exception:
+        return 0.0
+
+
+def rouge_zh_score(prediction, ground_truth, **kwargs) -> float:
+    import jieba
+
+    prediction = " ".join(jieba.cut(prediction, cut_all=False))
+    ground_truth = " ".join(jieba.cut(ground_truth, cut_all=False))
+    return rouge_score(prediction, ground_truth)
+
+
+def f1_score(prediction_tokens, ground_truth_tokens, **kwargs) -> float:
+    common = Counter(prediction_tokens) & Counter(ground_truth_tokens)
+    num_same = sum(common.values())
+    if num_same == 0:
+        return 0.0
+    precision = num_same / len(prediction_tokens)
+    recall = num_same / len(ground_truth_tokens)
+    return 2 * precision * recall / (precision + recall)
+
+
+def qa_f1_score(prediction, ground_truth, **kwargs) -> float:
+    pred = normalize_answer(prediction).split()
+    gt = normalize_answer(ground_truth).split()
+    return f1_score(pred, gt)
+
+
+def qa_f1_zh_score(prediction, ground_truth, **kwargs) -> float:
+    import jieba
+
+    pred = [
+        t
+        for t in (normalize_zh_answer(tok) for tok in jieba.cut(prediction, cut_all=False))
+        if t
+    ]
+    gt = [
+        t
+        for t in (normalize_zh_answer(tok) for tok in jieba.cut(ground_truth, cut_all=False))
+        if t
+    ]
+    return f1_score(pred, gt)
+
+
+dataset2metric = {
+    "narrativeqa": qa_f1_score,
+    "qasper": qa_f1_score,
+    "multifieldqa_en": qa_f1_score,
+    "multifieldqa_zh": qa_f1_zh_score,
+    "hotpotqa": qa_f1_score,
+    "2wikimqa": qa_f1_score,
+    "musique": qa_f1_score,
+    "dureader": rouge_zh_score,
+    "gov_report": rouge_score,
+    "qmsum": rouge_score,
+    "multi_news": rouge_score,
+    "vcsum": rouge_zh_score,
+    "trec": classification_score,
+    "triviaqa": qa_f1_score,
+    "samsum": rouge_score,
+    "lsht": classification_score,
+    "passage_retrieval_en": retrieval_score,
+    "passage_count": count_score,
+    "passage_retrieval_zh": retrieval_zh_score,
+    "lcc": code_sim_score,
+    "repobench-p": code_sim_score,
+}

@@ -257,6 +257,28 @@ class Engine:
         rk = attn["k_proj"]["U"].shape[1]
         rv = attn["v_proj"]["U"].shape[1]
 
+        if ecfg.use_pallas:
+            from ..ops.pallas import palu_decode as pk
+
+            block_s = min(ecfg.decode_chunk, ecfg.s_max)
+            if ecfg.qcfg is not None and ecfg.qcfg.enabled:
+                lat_out = pk.palu_flash_decode_quantized(
+                    q, der["b_k"],
+                    entry["k"]["codes"], entry["k"]["scales"], entry["k"]["base"],
+                    entry["v"]["codes"], entry["v"]["scales"], entry["v"]["base"],
+                    kv_len,
+                    qcfg=ecfg.qcfg, rk=rk, rv=rv, block_s=block_s,
+                    theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
+                )
+            else:
+                lat_out = pk.palu_flash_decode(
+                    q, der["b_k"], entry["k"]["lat"], entry["v"]["lat"], kv_len,
+                    block_s=block_s, theta=cfg.rope_theta,
+                    sliding_window=cfg.sliding_window,
+                )
+            lat_out = lat_out.astype(ecfg.dtype).reshape(b, nh * rv)
+            return lat_out @ attn["o_proj"]["w_fused"]
+
         def read_k(idx):
             buf = jax.tree.map(
                 lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk, axis=2),
@@ -359,6 +381,8 @@ class Engine:
         """Greedy generation loop (reference run_long_bench.py:63-81 uses HF
         greedy generate)."""
         input_ids = np.asarray(input_ids)
+        # cap at cache capacity (the prompt occupies input length slots)
+        max_new_tokens = min(max_new_tokens, self.ecfg.s_max - input_ids.shape[1])
         logits, cache = self.prefill(input_ids)
         out_tokens = []
         next_tok = np.asarray(jnp.argmax(logits[:, -1], axis=-1))[:, None]
