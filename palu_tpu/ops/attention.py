@@ -75,7 +75,7 @@ def flash_decode_latent(
     b_k: jax.Array,  # (G, hpg, rk, hd) grouped per-head reconstruction matrices
     num_chunks: int,
     chunk: int,
-    kv_len: jax.Array,  # scalar: number of valid cache positions
+    kv_len: jax.Array,  # (B,) per-lane valid cache positions
     head_dim: int,
     rope_theta: float,
     rv: int,
@@ -118,17 +118,18 @@ def flash_decode_latent(
             "bghd,bghcd->bghc", q_g.astype(jnp.float32), kblk,
             preferred_element_type=jnp.float32,
         ) / np.sqrt(head_dim)
-        valid = pos < kv_len
+        valid = pos[None, :] < kv_len[:, None]  # (B, C)
         if sliding_window is not None:
-            valid &= pos > (kv_len - 1) - sliding_window
+            valid &= pos[None, :] > (kv_len[:, None] - 1) - sliding_window
+        vmask = valid[:, None, None, :]
         # finite mask value + explicit p zeroing: -inf would produce
         # exp(-inf - -inf) = nan on fully-masked chunks
-        logits = jnp.where(valid[None, None, None, :], logits, -1e30)
+        logits = jnp.where(vmask, logits, -1e30)
         # online softmax update
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(logits - m_new[..., None])  # (B, G, hpg, C)
-        p = jnp.where(valid[None, None, None, :], p, 0.0)
+        p = jnp.where(vmask, p, 0.0)
         l_new = l * alpha + jnp.sum(p, axis=-1)
         pv = jnp.einsum(
             "bghc,bgcr->bghr", p, xv, preferred_element_type=jnp.float32

@@ -146,7 +146,7 @@ def _make_decode_kernel(
 
         sblk = pl.program_id(2)
         nblk = pl.num_programs(2)
-        kv_len = kv_len_ref[0]
+        kv_len = kv_len_ref[pl.program_id(0)]  # per-lane length
 
         @pl.when(sblk == 0)
         def _init():
@@ -268,7 +268,7 @@ def palu_flash_decode(
     b_k: jax.Array,  # (G, hpg, rk, hd)
     x_k: jax.Array,  # (B, G, S_max, rk) latents, pre-RoPE
     x_v: jax.Array,  # (B, G, S_max, rv)
-    kv_len: jax.Array,  # () int32
+    kv_len: jax.Array,  # () or (B,) int32 valid lengths
     *,
     block_s: int = 512,
     theta: float = 10000.0,
@@ -295,7 +295,7 @@ def palu_flash_decode(
     ]
     return _common_call(
         kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra, interpret,
-        (jnp.asarray(kv_len, jnp.int32).reshape(1), q1, q2, b1, b2, x_k, x_v),
+        (jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,)), q1, q2, b1, b2, x_k, x_v),
     )
 
 
@@ -349,7 +349,7 @@ def palu_flash_decode_quantized(
     return _common_call(
         kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra, interpret,
         (
-            jnp.asarray(kv_len, jnp.int32).reshape(1),
+            jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,)),
             q1, q2, b1, b2,
             xk_codes, xk_scales, xk_base,
             xv_codes, xv_scales, xv_base,

@@ -77,7 +77,7 @@ def init_cache(
         else:
             entry["v"] = _layer_buffers(batch, g, s_max, rv, dtype, qcfg)
         layers.append(entry)
-    return {"layers": layers, "length": jnp.zeros((), jnp.int32)}
+    return {"layers": layers, "length": jnp.zeros((batch,), jnp.int32)}
 
 
 def cache_nbytes(cache: Dict[str, Any]) -> int:
@@ -127,6 +127,19 @@ def write_at(
             buf[k], u, (0, 0, pos, 0)
         )
     return out
+
+
+def write_at_lanes(
+    buf: Dict[str, jax.Array],
+    update: Dict[str, jax.Array],
+    pos: jax.Array,  # (B,) per-lane sequence offsets
+) -> Dict[str, jax.Array]:
+    """Per-lane write: update (B, G, S_new, ...) lands at each lane's own
+    offset (continuous batching: lanes hold different-length requests)."""
+    def one(b_buf, b_upd, p):
+        return jax.lax.dynamic_update_slice(b_buf, b_upd, (0, p, 0))
+
+    return {k: jax.vmap(one)(buf[k], update[k], pos) for k in update}
 
 
 def write_prefill(buf, latents, qcfg, dtype, pos):

@@ -171,7 +171,7 @@ class Engine:
         x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
         logits = x[:, -1:] @ lm_head
-        new_cache = {"layers": new_layers, "length": jnp.asarray(s, jnp.int32)}
+        new_cache = {"layers": new_layers, "length": jnp.full((b,), s, jnp.int32)}
         return logits, new_cache
 
     # -- decode --------------------------------------------------------------
@@ -180,10 +180,10 @@ class Engine:
         """token_ids: (B, 1). One step; appends to cache at `length`."""
         cfg, ecfg = self.cfg, self.ecfg
         b = token_ids.shape[0]
-        pos = cache["length"]  # scalar
+        pos = cache["length"]  # (B,) per-lane lengths
         x = params["embed"][token_ids].astype(ecfg.dtype)  # (B, 1, H)
         nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-        positions = jnp.broadcast_to(pos[None, None], (b, 1))
+        positions = pos[:, None]  # (B, 1)
         cos, sin = llama.rope_cos_sin(positions, hd, cfg.rope_theta)
 
         kv_len = pos + 1
@@ -211,23 +211,19 @@ class Engine:
                 k_new = k_raw.reshape(b, 1, nkv, hd)
                 k_new = llama.apply_rope(k_new.astype(jnp.float32), cos, sin)
                 upd = {"lat": k_new.astype(ecfg.dtype).transpose(0, 2, 1, 3)}
-                entry["k"] = cache_lib.write_at(entry["k"], upd, pos)
+                entry["k"] = cache_lib.write_at_lanes(entry["k"], upd, pos)
             else:
                 lat = k_raw.transpose(0, 2, 1, 3)
-                entry["k"] = cache_lib.write_at(
-                    entry["k"],
-                    cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype),
-                    pos,
+                entry["k"] = cache_lib.write_at_lanes(
+                    entry["k"], cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype), pos
                 )
             if v_dense:
                 upd = {"lat": v_raw.reshape(b, 1, nkv, hd).astype(ecfg.dtype).transpose(0, 2, 1, 3)}
-                entry["v"] = cache_lib.write_at(entry["v"], upd, pos)
+                entry["v"] = cache_lib.write_at_lanes(entry["v"], upd, pos)
             else:
                 lat = v_raw.transpose(0, 2, 1, 3)
-                entry["v"] = cache_lib.write_at(
-                    entry["v"],
-                    cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype),
-                    pos,
+                entry["v"] = cache_lib.write_at_lanes(
+                    entry["v"], cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype), pos
                 )
 
             attn_out = self._decode_attention(q, entry, attn, der, kv_len, k_dense, v_dense)
@@ -327,14 +323,15 @@ class Engine:
                 preferred_element_type=jnp.float32,
             ) / np.sqrt(hd)
             pos = idx * chunk + jnp.arange(chunk)
-            valid = pos < kv_len
+            valid = pos[None, :] < kv_len[:, None]  # (B, C)
             if cfg.sliding_window is not None:
-                valid &= pos > (kv_len - 1) - cfg.sliding_window
-            logits = jnp.where(valid[None, None, None, :], logits, -1e30)
+                valid &= pos[None, :] > (kv_len[:, None] - 1) - cfg.sliding_window
+            vmask = valid[:, None, None, :]
+            logits = jnp.where(vmask, logits, -1e30)
             m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
             alpha = jnp.exp(m - m_new)
             p = jnp.exp(logits - m_new[..., None])
-            p = jnp.where(valid[None, None, None, :], p, 0.0)
+            p = jnp.where(vmask, p, 0.0)
             l_new = l * alpha + jnp.sum(p, axis=-1)
             pv = jnp.einsum(
                 "bgrc,bgcd->bgrd", p, vblk.astype(jnp.float32),
@@ -369,10 +366,10 @@ class Engine:
     def decode(self, token_ids, cache):
         # dynamic_update_slice silently clamps at the end of the buffer,
         # which would corrupt the last cache slot -- guard on the host.
-        if int(cache["length"]) >= self.ecfg.s_max:
+        if int(jnp.max(cache["length"])) >= self.ecfg.s_max:
             raise ValueError(
-                f"cache full: length {int(cache['length'])} == s_max "
-                f"{self.ecfg.s_max}"
+                f"cache full: max length {int(jnp.max(cache['length']))} == "
+                f"s_max {self.ecfg.s_max}"
             )
         return self._decode_jit(self.params, cache, jnp.asarray(token_ids))
 

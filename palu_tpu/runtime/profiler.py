@@ -49,7 +49,10 @@ def seed_cache_random(engine: Engine, prompt_len: int, seed: int = 0):
                     )
             new_entry[side] = new_bufs
         new_layers.append(new_entry)
-    return {"layers": new_layers, "length": jnp.asarray(prompt_len, jnp.int32)}
+    return {
+        "layers": new_layers,
+        "length": jnp.full((engine.ecfg.batch,), prompt_len, jnp.int32),
+    }
 
 
 def profile_tpot(

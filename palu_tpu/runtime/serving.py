@@ -1,0 +1,306 @@
+"""Continuous-batching serving runtime.
+
+A fixed-lane engine (static-shape jitted decode over B lanes) driven by the
+native C++ scheduler (native/scheduler.cc via ctypes; a pure-Python fallback
+keeps tests runnable before `make`). Requests are admitted into free lanes,
+prefilled with a batch-1 engine sharing the same params, inserted into the
+batched cache at their lane, and decoded together; finished lanes are
+recycled immediately -- decode never stalls on stragglers.
+
+The reference has no serving stack; this implements the BASELINE north
+star's "continuous batching" requirement TPU-first: per-lane cache lengths,
+lane insertion via jitted dynamic_update_slice, and all step functions
+compiled once.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import os
+import subprocess
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .engine import Engine, EngineConfig
+
+__all__ = ["NativeScheduler", "PyScheduler", "ServingEngine", "load_scheduler"]
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+
+
+def _ensure_native_lib() -> Optional[str]:
+    so = os.path.join(_NATIVE_DIR, "libpalusched.so")
+    if os.path.exists(so):
+        return so
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return so if os.path.exists(so) else None
+    except Exception:
+        return None
+
+
+class NativeScheduler:
+    """ctypes binding over native/scheduler.cc."""
+
+    def __init__(self, num_lanes: int, s_max: int, so_path: Optional[str] = None):
+        so_path = so_path or _ensure_native_lib()
+        if so_path is None:
+            raise RuntimeError("native scheduler library unavailable; run make -C native")
+        lib = ctypes.CDLL(so_path)
+        lib.palu_sched_create.restype = ctypes.c_void_p
+        lib.palu_sched_create.argtypes = [ctypes.c_int32, ctypes.c_int32]
+        lib.palu_sched_destroy.argtypes = [ctypes.c_void_p]
+        lib.palu_sched_add.restype = ctypes.c_int32
+        lib.palu_sched_add.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_int32, ctypes.c_int32]
+        lib.palu_sched_cancel.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.palu_sched_cancel.restype = ctypes.c_int32
+        lib.palu_sched_admit.restype = ctypes.c_int32
+        lib.palu_sched_admit.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.palu_sched_active.restype = ctypes.c_int32
+        lib.palu_sched_active.argtypes = [ctypes.c_void_p,
+                                          ctypes.POINTER(ctypes.c_int64)]
+        lib.palu_sched_on_token.restype = ctypes.c_int32
+        lib.palu_sched_on_token.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                            ctypes.c_int32]
+        lib.palu_sched_request_state.restype = ctypes.c_int32
+        lib.palu_sched_request_state.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.palu_sched_generated.restype = ctypes.c_int32
+        lib.palu_sched_generated.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.palu_sched_num_queued.restype = ctypes.c_int32
+        lib.palu_sched_num_queued.argtypes = [ctypes.c_void_p]
+        lib.palu_sched_stats.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        self._lib = lib
+        self._h = lib.palu_sched_create(num_lanes, s_max)
+        self.num_lanes = num_lanes
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.palu_sched_destroy(self._h)
+            self._h = None
+
+    def add(self, rid: int, prompt_len: int, max_new_tokens: int) -> bool:
+        return self._lib.palu_sched_add(self._h, rid, prompt_len, max_new_tokens) == 0
+
+    def cancel(self, rid: int) -> bool:
+        return self._lib.palu_sched_cancel(self._h, rid) == 0
+
+    def admit(self):
+        ids = (ctypes.c_int64 * self.num_lanes)()
+        lanes = (ctypes.c_int32 * self.num_lanes)()
+        n = self._lib.palu_sched_admit(self._h, ids, lanes, self.num_lanes)
+        return [(int(ids[i]), int(lanes[i])) for i in range(n)]
+
+    def active(self) -> List[int]:
+        ids = (ctypes.c_int64 * self.num_lanes)()
+        self._lib.palu_sched_active(self._h, ids)
+        return [int(x) for x in ids]
+
+    def on_token(self, lane: int, is_eos: bool) -> int:
+        return self._lib.palu_sched_on_token(self._h, lane, 1 if is_eos else 0)
+
+    def state(self, rid: int) -> int:
+        return self._lib.palu_sched_request_state(self._h, rid)
+
+    def generated(self, rid: int) -> int:
+        return self._lib.palu_sched_generated(self._h, rid)
+
+    def num_queued(self) -> int:
+        return self._lib.palu_sched_num_queued(self._h)
+
+    def stats(self):
+        a, f, t = ctypes.c_int64(), ctypes.c_int64(), ctypes.c_int64()
+        self._lib.palu_sched_stats(self._h, ctypes.byref(a), ctypes.byref(f),
+                                   ctypes.byref(t))
+        return {"admitted": a.value, "finished": f.value, "tokens": t.value}
+
+
+class PyScheduler:
+    """Pure-Python mirror of the native scheduler (fallback / differential
+    testing oracle)."""
+
+    def __init__(self, num_lanes: int, s_max: int):
+        self.num_lanes = num_lanes
+        self.s_max = s_max
+        self.queue: List[int] = []
+        self.lanes = [-1] * num_lanes
+        self.requests: Dict[int, dict] = {}
+        self._stats = {"admitted": 0, "finished": 0, "tokens": 0}
+
+    def add(self, rid, prompt_len, max_new_tokens):
+        if prompt_len >= self.s_max:
+            return False
+        room = self.s_max - prompt_len
+        self.requests[rid] = {
+            "prompt_len": prompt_len,
+            "max_new": min(max_new_tokens, room),
+            "generated": 0, "lane": -1, "state": 0,
+        }
+        self.queue.append(rid)
+        self._stats["admitted"] += 1
+        return True
+
+    def cancel(self, rid):
+        r = self.requests.get(rid)
+        if r is None:
+            return False
+        if r["state"] == 1 and r["lane"] >= 0:
+            self.lanes[r["lane"]] = -1
+        r["state"] = 3
+        return True
+
+    def admit(self):
+        out = []
+        for lane in range(self.num_lanes):
+            if self.lanes[lane] != -1:
+                continue
+            while self.queue:
+                rid = self.queue.pop(0)
+                r = self.requests.get(rid)
+                if r is None or r["state"] != 0:
+                    continue
+                r["state"], r["lane"] = 1, lane
+                self.lanes[lane] = rid
+                out.append((rid, lane))
+                break
+        return out
+
+    def active(self):
+        return list(self.lanes)
+
+    def on_token(self, lane, is_eos):
+        rid = self.lanes[lane]
+        if rid == -1:
+            return -1
+        r = self.requests[rid]
+        r["generated"] += 1
+        self._stats["tokens"] += 1
+        if is_eos or r["generated"] >= r["max_new"]:
+            r["state"], r["lane"] = 2, -1
+            self.lanes[lane] = -1
+            self._stats["finished"] += 1
+            return 1
+        return 0
+
+    def state(self, rid):
+        r = self.requests.get(rid)
+        return -1 if r is None else r["state"]
+
+    def generated(self, rid):
+        r = self.requests.get(rid)
+        return -1 if r is None else r["generated"]
+
+    def num_queued(self):
+        return sum(1 for rid in self.queue if self.requests[rid]["state"] == 0)
+
+    def stats(self):
+        return dict(self._stats)
+
+
+def load_scheduler(num_lanes: int, s_max: int, prefer_native: bool = True):
+    if prefer_native:
+        try:
+            return NativeScheduler(num_lanes, s_max)
+        except Exception:
+            pass
+    return PyScheduler(num_lanes, s_max)
+
+
+class ServingEngine:
+    """Continuous batching over a lane-batched Engine."""
+
+    def __init__(self, params, cfg, ecfg: EngineConfig, prefer_native: bool = True):
+        assert ecfg.batch >= 1
+        self.engine = Engine(params, cfg, ecfg)
+        # batch-1 engine sharing params, for per-request prefill
+        self.prefill_engine = Engine(
+            params, cfg, dataclasses.replace(ecfg, batch=1)
+        )
+        self.sched = load_scheduler(ecfg.batch, ecfg.s_max, prefer_native)
+        self.cache = self.engine.init_cache()
+        self.tokens = np.zeros((ecfg.batch, 1), np.int32)  # next input per lane
+        self.outputs: Dict[int, List[int]] = {}
+        self._insert = jax.jit(self._insert_impl, donate_argnums=(0,),
+                               static_argnames=("lane",))
+        self.eos_token_id: Optional[int] = None
+
+    @staticmethod
+    def _insert_impl(batched_cache, single_cache, lane: int):
+        new_layers = []
+        for b_entry, s_entry in zip(batched_cache["layers"], single_cache["layers"]):
+            new_entry = {}
+            for side in b_entry:
+                new_entry[side] = {
+                    k: jax.lax.dynamic_update_slice(
+                        b_entry[side][k], s_entry[side][k], (lane, 0, 0, 0)
+                    )
+                    for k in b_entry[side]
+                }
+            new_layers.append(new_entry)
+        length = batched_cache["length"].at[lane].set(single_cache["length"][0])
+        return {"layers": new_layers, "length": length}
+
+    def submit(self, rid: int, prompt_ids: np.ndarray, max_new_tokens: int) -> bool:
+        prompt_ids = np.asarray(prompt_ids).reshape(1, -1)
+        ok = self.sched.add(rid, prompt_ids.shape[1], max_new_tokens)
+        if ok:
+            self.outputs[rid] = []
+            if not hasattr(self, "_prompts"):
+                self._prompts = {}
+            self._prompts[rid] = prompt_ids
+        return ok
+
+    def step(self) -> int:
+        """Admit + prefill new requests, run one decode step for all lanes.
+        Returns the number of active lanes stepped."""
+        # admission
+        for rid, lane in self.sched.admit():
+            prompt = self._prompts.pop(rid)
+            logits, single_cache = self.prefill_engine.prefill(prompt)
+            first_tok = int(np.asarray(jnp.argmax(logits[0, -1])))
+            self.cache = self._insert(self.cache, single_cache, lane=lane)
+            self.tokens[lane, 0] = first_tok
+            self.outputs[rid].append(first_tok)
+            done = self.sched.on_token(lane, self._is_eos(first_tok))
+            if done:
+                continue
+
+        active = self.sched.active()
+        n_active = sum(1 for a in active if a != -1)
+        if n_active == 0:
+            return 0
+
+        logits, self.cache = self.engine._decode_jit(
+            self.engine.params, self.cache, jnp.asarray(self.tokens)
+        )
+        next_toks = np.asarray(jnp.argmax(logits[:, -1], axis=-1))
+        for lane, rid in enumerate(active):
+            if rid == -1:
+                continue
+            tok = int(next_toks[lane])
+            self.outputs[rid].append(tok)
+            self.tokens[lane, 0] = tok
+            self.sched.on_token(lane, self._is_eos(tok))
+        return n_active
+
+    def _is_eos(self, tok: int) -> bool:
+        return self.eos_token_id is not None and tok == self.eos_token_id
+
+    def run_until_done(self, max_steps: int = 100000) -> Dict[int, List[int]]:
+        steps = 0
+        while (self.sched.num_queued() > 0 or any(
+            a != -1 for a in self.sched.active()
+        )) and steps < max_steps:
+            self.step()
+            steps += 1
+        return self.outputs

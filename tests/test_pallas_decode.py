@@ -27,7 +27,7 @@ def _setup(b=1, g=2, hpg=4, rk=32, rv=64, hd=128, s_max=256, kv_len=200, seed=0)
         jnp.asarray(b_k),
         jnp.asarray(x_k),
         jnp.asarray(x_v),
-        jnp.asarray(kv_len, jnp.int32),
+        jnp.full((b,), kv_len, jnp.int32),
     )
 
 

@@ -1,0 +1,118 @@
+"""Continuous-batching serving tests: native C++ scheduler (built via make),
+differential native-vs-python scheduler check, and end-to-end equivalence of
+served outputs vs sequential Engine.generate."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from palu_tpu.compression import compress_params
+from palu_tpu.models import ModelConfig, llama
+from palu_tpu.runtime.engine import Engine, EngineConfig
+from palu_tpu.runtime.serving import (
+    NativeScheduler,
+    PyScheduler,
+    ServingEngine,
+    _ensure_native_lib,
+)
+
+
+def _native_available():
+    return _ensure_native_lib() is not None
+
+
+def _sched_scenario(sched):
+    """Drive a fixed scenario; return an event log for differential testing."""
+    log = []
+    log.append(sched.add(1, 10, 3))
+    log.append(sched.add(2, 5, 2))
+    log.append(sched.add(3, 200, 5))  # too long for s_max=64 -> rejected
+    log.append(sched.add(4, 8, 100))  # clamped to room
+    log.append(sorted(sched.admit()))
+    log.append(sched.active())
+    # finish request 2 (2 tokens)
+    lane2 = sched.active().index(2)
+    log.append(sched.on_token(lane2, False))
+    log.append(sched.on_token(lane2, False))  # hits max_new -> finished
+    log.append(sched.active())
+    log.append(sched.state(2))
+    # request 1: eos early
+    lane1 = sched.active().index(1)
+    log.append(sched.on_token(lane1, True))
+    log.append(sched.state(1))
+    log.append(sched.num_queued())
+    log.append(sorted(sched.admit()))  # nothing left queued
+    log.append(sched.stats())
+    return log
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib build failed")
+def test_native_scheduler_matches_python():
+    a = _sched_scenario(NativeScheduler(2, 64))
+    b = _sched_scenario(PyScheduler(2, 64))
+    assert a == b, (a, b)
+
+
+def test_py_scheduler_lifecycle():
+    s = PyScheduler(2, 64)
+    assert s.add(1, 10, 4)
+    assert not s.add(2, 64, 4)  # prompt == s_max rejected
+    assert s.admit() == [(1, 0)]
+    assert s.active() == [1, -1]
+    assert s.on_token(0, False) == 0
+    assert s.cancel(1)
+    assert s.active() == [-1, -1]
+    assert s.state(1) == 3
+
+
+def _model():
+    cfg = ModelConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    params = llama.init_params(cfg, jax.random.key(0))
+    sel = {}
+    for i in range(cfg.num_hidden_layers):
+        sel[f"model.layers.{i}.self_attn.k_proj"] = [8, 8]
+        sel[f"model.layers.{i}.self_attn.v_proj"] = [8, 8]
+    return compress_params(params, cfg, sel, "svd", head_group_size=2)
+
+
+@pytest.mark.parametrize("prefer_native", [True, False])
+def test_serving_matches_sequential_generate(prefer_native):
+    params, cfg = _model()
+    ecfg = EngineConfig(s_max=32, batch=2, dtype=jnp.float32, decode_chunk=8)
+    serving = ServingEngine(params, cfg, ecfg, prefer_native=prefer_native)
+
+    rng = np.random.default_rng(0)
+    prompts = {
+        10: rng.integers(1, cfg.vocab_size, (1, 6)),
+        11: rng.integers(1, cfg.vocab_size, (1, 9)),
+        12: rng.integers(1, cfg.vocab_size, (1, 4)),  # waits for a free lane
+    }
+    n_new = {10: 5, 11: 3, 12: 6}
+    for rid, p in prompts.items():
+        assert serving.submit(rid, p, n_new[rid])
+
+    outputs = serving.run_until_done(max_steps=200)
+
+    # sequential reference: batch-1 engine, same params
+    seq_engine = Engine(params, cfg, EngineConfig(s_max=32, batch=1,
+                                                  dtype=jnp.float32, decode_chunk=8))
+    for rid, p in prompts.items():
+        ref = seq_engine.generate(p, max_new_tokens=n_new[rid])[0].tolist()
+        assert outputs[rid] == ref, (rid, outputs[rid], ref)
+
+    stats = serving.sched.stats()
+    assert stats["finished"] == 3
+    assert stats["tokens"] == sum(n_new.values())

@@ -1,0 +1,86 @@
+"""TPU validation + microbench: run once to validate kernels on the real
+chip and populate the persistent compile cache (each new executable costs
+minutes over the axon tunnel; warm runs are instant)."""
+import sys, time, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import numpy as np
+import jax, jax.numpy as jnp
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+def log(*a):
+    print(*a, flush=True)
+
+log("devices:", jax.devices())
+from palu_tpu.ops import attention as att_ops
+from palu_tpu.ops.pallas.palu_decode import palu_flash_decode, palu_flash_decode_quantized
+from palu_tpu.core import quant as qm
+from palu_tpu.core.quant import QuantConfig
+
+# ---- 1. correctness: kernel vs XLA on-chip (small) ----
+rng = np.random.default_rng(0)
+b, g, hpg, rk, rv, hd, s_max, kv_len = 1, 2, 4, 32, 64, 128, 512, 400
+q = jnp.asarray(rng.standard_normal((b, g*hpg, hd)), jnp.float32)
+b_k = jnp.asarray(rng.standard_normal((g, hpg, rk, hd))*0.1, jnp.float32)
+x_k = jnp.asarray(rng.standard_normal((b, g, s_max, rk)), jnp.float32)
+x_v = jnp.asarray(rng.standard_normal((b, g, s_max, rv)), jnp.float32)
+kvl = jnp.asarray(kv_len, jnp.int32)
+t0=time.time()
+out = palu_flash_decode(q, b_k, x_k, x_v, kvl, block_s=128)
+out.block_until_ready(); log("kernel fp32 %.1fs" % (time.time()-t0))
+chunk=128
+@jax.jit
+def xla_ref(q_, xk_, xv_, kvl_):
+    return att_ops.flash_decode_latent(
+        q_, lambda i: jax.lax.dynamic_slice_in_dim(xk_, i*chunk, chunk, 2),
+        lambda i: jax.lax.dynamic_slice_in_dim(xv_, i*chunk, chunk, 2),
+        b_k, s_max//chunk, chunk, kvl_, hd, 10000.0, rv, None)
+t0=time.time()
+ref = xla_ref(q, x_k, x_v, kvl); ref.block_until_ready()
+log("xla ref %.1fs" % (time.time()-t0))
+d = float(jnp.abs(out - ref).max())
+log("KERNEL-vs-XLA max abs diff (fp32):", d)
+assert d < 5e-2, d
+
+# quantized kernel correctness
+qc = QuantConfig(bits=3, group_size=0)
+kc, ks, kb = qm.quantize(x_k, qc); vc, vs, vb = qm.quantize(x_v, qc)
+kcp, vcp = qm.pack_codes(kc, 3), qm.pack_codes(vc, 3)
+t0=time.time()
+outq = palu_flash_decode_quantized(q, b_k, kcp, ks, kb, vcp, vs, vb, kvl,
+                                   qcfg=qc, rk=rk, rv=rv, block_s=128)
+outq.block_until_ready(); log("kernel q3 %.1fs" % (time.time()-t0))
+xkd = qm.dequantize(kc, ks, kb, qc, dtype=jnp.float32)
+xvd = qm.dequantize(vc, vs, vb, qc, dtype=jnp.float32)
+refq = xla_ref(q, xkd, xvd, kvl)
+dq = float(jnp.abs(outq - refq).max())
+log("QUANT KERNEL-vs-XLA max abs diff:", dq)
+assert dq < 5e-2, dq
+
+log("=== correctness OK ===")
+
+# ---- 2. microbench at reference shapes: seq 65536, rank_k 1024, rank_v 3072, gs 4 ----
+def bench(f, n=30):
+    f().block_until_ready()
+    t0=time.time()
+    for _ in range(n): o=f()
+    o.block_until_ready()
+    return (time.time()-t0)/n*1e6
+
+g2, hpg2, rk2, rv2 = 8, 4, 128, 384
+for seq in (4096, 16384, 65536):
+    s2 = seq
+    q2 = jnp.asarray(rng.standard_normal((1, 32, 128)), jnp.bfloat16)
+    bk2 = jnp.asarray(rng.standard_normal((g2, hpg2, rk2, 128))*0.1, jnp.bfloat16)
+    xk2 = jnp.asarray(rng.standard_normal((1, g2, s2, rk2)), jnp.bfloat16)
+    xv2 = jnp.asarray(rng.standard_normal((1, g2, s2, rv2)), jnp.bfloat16)
+    kvl2 = jnp.asarray(seq, jnp.int32)
+    t0=time.time()
+    us = bench(lambda: palu_flash_decode(q2, bk2, xk2, xv2, kvl2, block_s=1024))
+    bytes_read = g2*s2*(rk2+rv2)*2
+    sol = bytes_read/819e9*1e6  # v5e ~819 GB/s
+    log(f"seq={seq}: palu kernel {us:.0f}us (speed-of-light ~{sol:.0f}us, {100*sol/us:.0f}% of SoL) [first-call {time.time()-t0:.0f}s]")
+log("done")
