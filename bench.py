@@ -48,6 +48,8 @@ def bench_attention_module(
 
     from palu_tpu.ops.pallas.palu_decode import palu_flash_decode, split_b_halves
 
+    interp = jax.default_backend() != "tpu"  # CPU smoke runs use interpret mode
+
     g = num_heads // group_size
     hpg = num_heads // g
     rk = total_rank_k // g
@@ -83,7 +85,7 @@ def bench_attention_module(
         lat_v = (x @ vt_v).reshape(1, g, 1, rv)
         xk = jax.lax.dynamic_update_slice(xk, lat_k, (0, 0, pos, 0))
         xv = jax.lax.dynamic_update_slice(xv, lat_v, (0, 0, pos, 0))
-        out = palu_flash_decode(q, b_k, xk, xv, pos + 1, block_s=block_s)
+        out = palu_flash_decode(q, b_k, xk, xv, pos + 1, block_s=block_s, interpret=interp)
         y = out.astype(bf).reshape(1, num_heads * rv) @ wo_fused
         return y, xk, xv
 
@@ -138,18 +140,32 @@ def bench_attention_module(
     dense_jit = jax.jit(dense_step, donate_argnums=(1, 2))
 
     def run(step, bufs):
-        x = jnp.asarray(rng.standard_normal((1, hidden)) * 0.1, bf)
-        pos = jnp.asarray(prompt_len, jnp.int32)
-        for i in range(warmup):
-            y, *bufs = step(x, *bufs, pos + i)
-        y.block_until_ready()
-        times = []
-        for i in range(n_steps):
-            t0 = time.perf_counter()
-            y, *bufs = step(x, *bufs, pos + warmup + i)
-            y.block_until_ready()
-            times.append(time.perf_counter() - t0)
-        return float(np.median(times) * 1e3)
+        """Chain n_steps decode steps inside ONE executable (lax.scan with a
+        data dependency) -- host->device dispatch here costs ~ms through the
+        tunnel, so per-step host timing is meaningless; this is also the XLA
+        analog of the reference's CUDA-graph capture."""
+        x0 = jnp.asarray(rng.standard_normal((1, hidden)) * 0.1, bf)
+        pos0 = jnp.asarray(prompt_len, jnp.int32)
+
+        def chained(x, bufs):
+            def body(carry, i):
+                x, bufs = carry
+                y, *new_bufs = step(x, *bufs, pos0 + i)
+                x_next = x0 + (0.001 * y).astype(bf)
+                return (x_next, list(new_bufs)), ()
+
+            (x_out, bufs), _ = jax.lax.scan(
+                body, (x, bufs), jnp.arange(n_steps)
+            )
+            return x_out, bufs
+
+        chained_jit = jax.jit(chained, donate_argnums=(1,))
+        x_out, bufs = chained_jit(x0, bufs)  # compile + warmup run
+        x_out.block_until_ready()
+        t0 = time.perf_counter()
+        x_out, bufs = chained_jit(x_out, bufs)
+        x_out.block_until_ready()
+        return float((time.perf_counter() - t0) / n_steps * 1e3)
 
     log(f"# compiling palu step (s_max={s_max})...", file=sys.stderr)
     xk0 = jnp.zeros((1, g, s_max, rk), bf)

@@ -48,13 +48,40 @@ def mha_prefill(
     sliding_window: Optional[int] = None,
     q_offset: int = 0,
 ) -> jax.Array:
-    """Causal MHA -> (B, Sq, nh*hd). GQA handled by head repetition."""
+    """Causal MHA -> (B, Sq, nh*hd). GQA handled by head repetition.
+
+    Long sequences on TPU dispatch to the Pallas flash-attention kernel that
+    ships with JAX (the reference's optional FlashAttention-2 analog,
+    utils.py:89); short/sliding-window cases use the full-softmax einsum.
+    """
     b, sq, nh, hd = q.shape
     nkv = k.shape[2]
     if nh != nkv:
         rep = nh // nkv
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
+
+    use_flash = (
+        sliding_window is None
+        and q_offset == 0
+        and sq == k.shape[1]
+        and sq >= 1024
+        and sq % 512 == 0
+        and hd >= 128
+        and jax.default_backend() == "tpu"
+    )
+    if use_flash:
+        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            causal=True,
+            sm_scale=float(1.0 / np.sqrt(hd)),
+        )
+        return out.transpose(0, 2, 1, 3).reshape(b, sq, nh * hd)
+
     logits = _causal_biased_logits(q, k, 1.0 / np.sqrt(hd), sliding_window, q_offset)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)

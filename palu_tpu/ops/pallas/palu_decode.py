@@ -131,8 +131,10 @@ def _make_decode_kernel(
     qcfg: Optional[QuantConfig],
     rk: int,
     rv: int,
+    compute_dtype=jnp.bfloat16,
 ):
     quantized = qcfg is not None and qcfg.enabled
+    cdt = compute_dtype
 
     def kernel(*refs):
         if quantized:
@@ -171,26 +173,28 @@ def _make_decode_kernel(
                 vals = (codes + q_min).astype(jnp.float32)
                 return (vals - base_ref[...]) * scales_ref[...]
 
-            x = dequant(xk_codes, xk_scales, xk_base, rk)  # (BS, rk)
-            xv = dequant(xv_codes, xv_scales, xv_base, rv)  # (BS, rv)
+            x = dequant(xk_codes, xk_scales, xk_base, rk).astype(cdt)
+            xv = dequant(xv_codes, xv_scales, xv_base, rv).astype(cdt)
         else:
-            x = xk_ref[...].astype(jnp.float32)
-            xv = xv_ref[...].astype(jnp.float32)
+            x = xk_ref[...].astype(cdt)
+            xv = xv_ref[...].astype(cdt)
 
-        # K-block reconstruction for ALL heads: two MXU matmuls
-        xb1 = jnp.dot(x, b1_ref[...].astype(jnp.float32),
+        # K-block reconstruction for ALL heads: two MXU matmuls (compute in
+        # cdt -- native MXU width -- accumulating fp32; fp32 everywhere blows
+        # the VMEM budget and stalls the DMA pipeline)
+        xb1 = jnp.dot(x, b1_ref[...].astype(cdt),
                       preferred_element_type=jnp.float32)  # (BS, hpg*half)
-        xb2 = jnp.dot(x, b2_ref[...].astype(jnp.float32),
+        xb2 = jnp.dot(x, b2_ref[...].astype(cdt),
                       preferred_element_type=jnp.float32)
-        r1 = xb1 * cos - xb2 * sin
-        r2 = xb2 * cos + xb1 * sin
+        r1 = (xb1 * cos - xb2 * sin).astype(cdt)
+        r2 = (xb2 * cos + xb1 * sin).astype(cdt)
 
         # logits for all heads at once via block-diagonal Q
         scale = 1.0 / np.sqrt(hd)
         logits = (
-            jnp.dot(r1, q1_ref[...].astype(jnp.float32),
+            jnp.dot(r1, q1_ref[...].astype(cdt),
                     preferred_element_type=jnp.float32)
-            + jnp.dot(r2, q2_ref[...].astype(jnp.float32),
+            + jnp.dot(r2, q2_ref[...].astype(cdt),
                       preferred_element_type=jnp.float32)
         ) * scale  # (BS, hpg)
         logits = jnp.where(valid, logits, -1e30)
@@ -205,7 +209,8 @@ def _make_decode_kernel(
 
         # transposed value update: (rv, BS) @ (BS, hpg) -> (rv, hpg)
         pv = jax.lax.dot_general(
-            xv, p, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            xv, p.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         acc_scr[...] = acc_scr[...] * alpha + pv
         m_scr[0:1, :] = m_new
@@ -261,7 +266,8 @@ def _common_call(kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra_in_specs,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_s", "theta", "sliding_window", "interpret")
+    jax.jit,
+    static_argnames=("block_s", "theta", "sliding_window", "interpret", "compute_dtype"),
 )
 def palu_flash_decode(
     q: jax.Array,  # (B, nh, hd) roped at the current position
@@ -274,6 +280,7 @@ def palu_flash_decode(
     theta: float = 10000.0,
     sliding_window: Optional[int] = None,
     interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """Fused decode attention -> (B, nh, rv) latent-space output (feed into
     the U_v-fused o_proj)."""
@@ -288,6 +295,7 @@ def palu_flash_decode(
     kernel = _make_decode_kernel(
         block_s=block_s, theta=theta, hd=hd, hpg=hpg,
         sliding_window=sliding_window, qcfg=None, rk=rk, rv=rv,
+        compute_dtype=compute_dtype,
     )
     extra = [
         pl.BlockSpec((None, None, block_s, rk), lambda bi, gi, si, *_: (bi, gi, si, 0)),
@@ -301,7 +309,7 @@ def palu_flash_decode(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window", "interpret"),
+    static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window", "interpret", "compute_dtype"),
 )
 def palu_flash_decode_quantized(
     q: jax.Array,  # (B, nh, hd)
@@ -321,6 +329,7 @@ def palu_flash_decode_quantized(
     theta: float = 10000.0,
     sliding_window: Optional[int] = None,
     interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """Decode attention with dequantization of the packed latent cache fused
     into the streaming pass. Requires per-row scales (qcfg.group_size == 0)."""
@@ -338,6 +347,7 @@ def palu_flash_decode_quantized(
     kernel = _make_decode_kernel(
         block_s=block_s, theta=theta, hd=hd, hpg=hpg,
         sliding_window=sliding_window, qcfg=qcfg, rk=rk, rv=rv,
+        compute_dtype=compute_dtype,
     )
 
     def blk(last):

@@ -54,7 +54,7 @@ def test_pallas_decode_matches_xla(kv_len):
     q, b_k, x_k, x_v, kvl = _setup(kv_len=kv_len)
     ref = np.asarray(_xla_reference(q, b_k, x_k, x_v, kvl))
     out = np.asarray(
-        palu_flash_decode(q, b_k, x_k, x_v, kvl, block_s=64, interpret=True)
+        palu_flash_decode(q, b_k, x_k, x_v, kvl, block_s=64, interpret=True, compute_dtype=jnp.float32)
     )
     assert out.shape == ref.shape
     assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
@@ -65,7 +65,8 @@ def test_pallas_decode_sliding_window():
     ref = np.asarray(_xla_reference(q, b_k, x_k, x_v, kvl, sliding_window=50))
     out = np.asarray(
         palu_flash_decode(
-            q, b_k, x_k, x_v, kvl, block_s=64, sliding_window=50, interpret=True
+            q, b_k, x_k, x_v, kvl, block_s=64, sliding_window=50, interpret=True,
+            compute_dtype=jnp.float32,
         )
     )
     assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
@@ -75,7 +76,7 @@ def test_pallas_decode_batch2():
     q, b_k, x_k, x_v, kvl = _setup(b=2, kv_len=100)
     ref = np.asarray(_xla_reference(q, b_k, x_k, x_v, kvl))
     out = np.asarray(
-        palu_flash_decode(q, b_k, x_k, x_v, kvl, block_s=64, interpret=True)
+        palu_flash_decode(q, b_k, x_k, x_v, kvl, block_s=64, interpret=True, compute_dtype=jnp.float32)
     )
     assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
 
@@ -84,7 +85,7 @@ def test_pallas_decode_nonstandard_theta_and_head_dim():
     q, b_k, x_k, x_v, kvl = _setup(hd=64, rk=64, rv=32, kv_len=128)
     ref = np.asarray(_xla_reference(q, b_k, x_k, x_v, kvl, theta=50000.0))
     out = np.asarray(
-        palu_flash_decode(q, b_k, x_k, x_v, kvl, block_s=64, theta=50000.0, interpret=True)
+        palu_flash_decode(q, b_k, x_k, x_v, kvl, block_s=64, theta=50000.0, interpret=True, compute_dtype=jnp.float32)
     )
     assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
 
@@ -112,6 +113,7 @@ def test_pallas_decode_quantized_matches_dequant_xla(bits):
             vc_packed, vs.astype(jnp.float32), vb.astype(jnp.float32),
             kvl,
             qcfg=qcfg, rk=32, rv=64, block_s=64, interpret=True,
+            compute_dtype=jnp.float32,
         )
     )
     assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
