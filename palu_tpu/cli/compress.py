@@ -68,6 +68,7 @@ def main():
     selection = search_ranks(
         params, cfg, args.param_ratio_target, args.search_method,
         args.head_group_size, calib_batches=fisher_batches,
+        model_id=args.model_name_or_path,
     )
 
     whiten_batches = None

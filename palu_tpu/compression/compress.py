@@ -44,13 +44,35 @@ def search_ranks(
     search_method: str = "fisher_uniform",
     head_group_size: int = 4,
     calib_batches: Optional[list] = None,
+    model_id: Optional[str] = None,
+    use_cache: bool = True,
 ) -> Dict[str, List[int]]:
-    """Run the configured rank search; returns {module_name: per-group ranks}."""
+    """Run the configured rank search; returns {module_name: per-group ranks}.
+
+    Fisher matrices are cached per model id (reference caches
+    cache/{model}_calib_fisher_info.pt, rank_search.py:40-51)."""
+    import os
+
+    import numpy as np
+
     names = kv_module_names(cfg)
     fisher_means = None
     if search_method in ("fisher", "fisher_uniform"):
-        assert calib_batches is not None, f"{search_method} needs calibration data"
-        fisher = calib_fisher_info(params, cfg, calib_batches)
+        cache_file = None
+        if model_id and use_cache:
+            cache_dir = os.environ.get("PALU_CACHE_DIR", "cache")
+            cache_file = os.path.join(
+                cache_dir, f"{model_id.replace('/', '_')}_calib_fisher_info.npz"
+            )
+        if cache_file and os.path.exists(cache_file):
+            data = np.load(cache_file)
+            fisher = {k: data[k] for k in data.files}
+        else:
+            assert calib_batches is not None, f"{search_method} needs calibration data"
+            fisher = calib_fisher_info(params, cfg, calib_batches)
+            if cache_file:
+                os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+                np.savez(cache_file, **fisher)
         groups = (
             cfg.num_key_value_heads // head_group_size
             if search_method == "fisher"

@@ -25,7 +25,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["mha_prefill", "flash_decode_latent", "rope_align_query"]
+__all__ = [
+    "mha_prefill",
+    "flash_decode_latent",
+    "flash_prefill_latent",
+    "rope_align_query",
+]
 
 
 def _causal_biased_logits(q, k, scale, sliding_window, q_offset):
@@ -170,3 +175,75 @@ def flash_decode_latent(
     (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(num_chunks))
     out = acc / l[..., None]
     return out.reshape(b, nh, rv)
+
+
+def flash_prefill_latent(
+    q: jax.Array,  # (B, Cq, nh, hd) -- roped at absolute positions offset+i
+    read_k_chunk,  # fn(chunk_idx) -> (B, G, C, rk) latents (dequantized)
+    read_v_chunk,  # fn(chunk_idx) -> (B, G, C, rv)
+    b_k: jax.Array,  # (G, hpg, rk, hd)
+    num_chunks: int,
+    chunk: int,
+    offset: jax.Array,  # (B,) absolute position of q[:, 0]
+    head_dim: int,
+    rope_theta: float,
+    rv: int,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Chunked-prefill attention over the latent cache -> (B, Cq, nh, rv).
+
+    The q-block generalization of flash_decode_latent: each query position
+    offset+i attends cache positions <= offset+i (causal across and within
+    the chunk). Used by Engine.prefill_chunked so a 64K prompt streams
+    through in fixed-size pieces with O(chunk^2) activation memory.
+    """
+    b, cq, nh, hd = q.shape
+    g, hpg = b_k.shape[0], b_k.shape[1]
+    q_g = q.reshape(b, cq, g, hpg, hd).transpose(0, 2, 3, 1, 4)  # (B,G,hpg,Cq,hd)
+
+    inv_freq = 1.0 / (
+        rope_theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+
+    def body(carry, idx):
+        m, l, acc = carry
+        xk = read_k_chunk(idx).astype(jnp.float32)  # (B, G, C, rk)
+        xv = read_v_chunk(idx).astype(jnp.float32)  # (B, G, C, rv)
+        kblk = jnp.einsum(
+            "bgcr,ghrd->bghcd", xk, b_k.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        pos = idx * chunk + jnp.arange(chunk)  # (C,) cache positions
+        freqs = pos[:, None].astype(jnp.float32) * inv_freq
+        emb = jnp.concatenate([freqs, freqs], axis=-1)
+        cos, sin = jnp.cos(emb), jnp.sin(emb)
+        half = hd // 2
+        krot = jnp.concatenate([-kblk[..., half:], kblk[..., :half]], axis=-1)
+        kblk = kblk * cos + krot * sin
+        logits = jnp.einsum(
+            "bghqd,bghcd->bghqc", q_g.astype(jnp.float32), kblk,
+            preferred_element_type=jnp.float32,
+        ) / np.sqrt(head_dim)
+        # causal: cache pos <= absolute q pos (offset + q_idx), per lane
+        q_pos = offset[:, None] + jnp.arange(cq)[None, :]  # (B, Cq)
+        valid = pos[None, None, :] <= q_pos[..., None]  # (B, Cq, C)
+        if sliding_window is not None:
+            valid &= pos[None, None, :] > q_pos[..., None] - sliding_window
+        vmask = valid[:, None, None, :, :]  # (B,1,1,Cq,C)
+        logits = jnp.where(vmask, logits, -1e30)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new[..., None])
+        p = jnp.where(vmask, p, 0.0)
+        l_new = l * alpha + jnp.sum(p, axis=-1)
+        pv = jnp.einsum(
+            "bghqc,bgcr->bghqr", p, xv, preferred_element_type=jnp.float32
+        )
+        return (m_new, l_new, acc * alpha[..., None] + pv), None
+
+    m0 = jnp.full((b, g, hpg, cq), -1e30, jnp.float32)
+    l0 = jnp.zeros((b, g, hpg, cq), jnp.float32)
+    acc0 = jnp.zeros((b, g, hpg, cq, rv), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(num_chunks))
+    out = acc / l[..., None]  # (B, G, hpg, Cq, rv)
+    return out.transpose(0, 3, 1, 2, 4).reshape(b, cq, nh, rv)

@@ -174,6 +174,109 @@ class Engine:
         new_cache = {"layers": new_layers, "length": jnp.full((b,), s, jnp.int32)}
         return logits, new_cache
 
+    # -- chunked prefill -----------------------------------------------------
+
+    def _prefill_chunk_impl(self, params, cache, ids_chunk, offset):
+        """One prefill chunk at per-lane `offset` (B,). Requires all-low-rank
+        k/v layers (always true for Palu-compressed models). Uses the fused
+        latent path end to end; activation memory is O(chunk * decode_chunk).
+        """
+        cfg, ecfg = self.cfg, self.ecfg
+        b, s = ids_chunk.shape
+        x = params["embed"][ids_chunk].astype(ecfg.dtype)
+        nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        positions = offset[:, None] + jnp.arange(s)[None, :]
+        cos, sin = llama.rope_cos_sin(positions, hd, cfg.rope_theta)
+        chunk = min(ecfg.decode_chunk, ecfg.s_max)
+        num_chunks = ecfg.s_max // chunk
+
+        new_layers = []
+        for p_layer, entry, der in zip(params["layers"], cache["layers"], self.derived):
+            attn = p_layer["attn"]
+            if "VT" not in attn["k_proj"] or "VT" not in attn["v_proj"]:
+                raise NotImplementedError("chunked prefill requires low-rank k/v")
+            h = llama.rms_norm(x, p_layer["input_norm"], cfg.rms_norm_eps)
+
+            q = h @ attn["q_proj"]["w"]
+            if attn["q_proj"].get("b") is not None:
+                q = q + attn["q_proj"]["b"]
+            q = q.reshape(b, s, nh, hd)
+            q = llama.apply_rope(q.astype(jnp.float32), cos, sin).astype(ecfg.dtype)
+
+            entry = dict(entry)
+            lat_k = llama.project_kv(h, attn["k_proj"]).transpose(0, 2, 1, 3)
+            entry["k"] = cache_lib.write_at_lanes(
+                entry["k"], cache_lib._encode(lat_k, ecfg.qcfg, ecfg.dtype), offset
+            )
+            lat_v = llama.project_kv(h, attn["v_proj"]).transpose(0, 2, 1, 3)
+            entry["v"] = cache_lib.write_at_lanes(
+                entry["v"], cache_lib._encode(lat_v, ecfg.qcfg, ecfg.dtype), offset
+            )
+
+            rk = attn["k_proj"]["U"].shape[1]
+            rv = attn["v_proj"]["U"].shape[1]
+
+            def read(side, rank):
+                def fn(idx):
+                    buf = jax.tree.map(
+                        lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk, axis=2),
+                        entry[side],
+                    )
+                    return cache_lib.decode_latents(buf, ecfg.qcfg, rank, ecfg.dtype)
+                return fn
+
+            lat_out = att_ops.flash_prefill_latent(
+                q, read("k", rk), read("v", rv), der["b_k"],
+                num_chunks, chunk, offset, hd, cfg.rope_theta, rv,
+                cfg.sliding_window,
+            )  # (B, s, nh, rv)
+            attn_out = lat_out.astype(ecfg.dtype).reshape(b, s, nh * rv)
+            x = x + attn_out @ attn["o_proj"]["w_fused"]
+
+            h2 = llama.rms_norm(x, p_layer["post_norm"], cfg.rms_norm_eps)
+            x = x + llama.mlp_forward(h2, p_layer["mlp"])
+            new_layers.append(entry)
+
+        x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
+        logits = x @ lm_head  # (B, s, V) -- caller picks the last real token
+        new_cache = {"layers": new_layers, "length": offset + s}
+        return logits, new_cache
+
+    def prefill_chunked(self, input_ids, chunk_size: int = 512, cache=None):
+        """Stream a long prompt through fixed-size chunks. Returns
+        (last-token logits (B, 1, V), cache)."""
+        if not hasattr(self, "_prefill_chunk_jit"):
+            self._prefill_chunk_jit = jax.jit(
+                self._prefill_chunk_impl, donate_argnums=(1,)
+            )
+        input_ids = np.asarray(input_ids)
+        b, total = input_ids.shape
+        if b != self.ecfg.batch:
+            raise ValueError(f"batch {b} != engine batch {self.ecfg.batch}")
+        if total > self.ecfg.s_max:
+            raise ValueError(f"prompt {total} exceeds s_max {self.ecfg.s_max}")
+        if cache is None:
+            cache = self.init_cache()
+        logits = None
+        off = 0
+        while off < total:
+            end = min(off + chunk_size, total)
+            real = end - off
+            ids = input_ids[:, off:end]
+            if real < chunk_size:  # pad the tail chunk (pad positions are
+                ids = np.pad(ids, ((0, 0), (0, chunk_size - real)))  # causally invisible)
+            offset = jnp.full((b,), off, jnp.int32)
+            logits, cache = self._prefill_chunk_jit(
+                self.params, cache, jnp.asarray(ids), offset
+            )
+            last = logits[:, real - 1 : real]
+            off = end
+        # fix length for the padded tail
+        cache = dict(cache)
+        cache["length"] = jnp.full((b,), total, jnp.int32)
+        return last, cache
+
     # -- decode --------------------------------------------------------------
 
     def _decode_impl(self, params, cache, token_ids):

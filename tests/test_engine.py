@@ -176,3 +176,24 @@ def test_cache_compression_ratio():
     assert n_q3 < n_lat
     # 3-bit codes ~ 3/16 of bf16 latents (+ scales overhead)
     assert n_q3 < 0.45 * n_lat
+
+
+@pytest.mark.parametrize("prompt_len", [16, 13])
+def test_chunked_prefill_matches_full(prompt_len):
+    """Chunked prefill (incl. padded tail chunk) + decode == full prefill."""
+    params, cfg = _lowrank_model(seed=7, rank=16, gs=2)
+    ids = np.random.default_rng(7).integers(1, cfg.vocab_size, (1, prompt_len))
+    ecfg = EngineConfig(s_max=32, dtype=jnp.float32, decode_chunk=8)
+    e1 = Engine(params, cfg, ecfg)
+    e2 = Engine(params, cfg, ecfg)
+
+    lg_full, c_full = e1.prefill(ids)
+    lg_chunk, c_chunk = e2.prefill_chunked(ids, chunk_size=8)
+    assert np.allclose(np.asarray(lg_full[:, -1]), np.asarray(lg_chunk[:, -1]),
+                       atol=5e-3), np.abs(np.asarray(lg_full[:, -1]) - np.asarray(lg_chunk[:, -1])).max()
+
+    tok = np.asarray([[5]])
+    d1, _ = e1.decode(tok, c_full)
+    d2, _ = e2.decode(tok, c_chunk)
+    assert np.allclose(np.asarray(d1), np.asarray(d2), atol=5e-3), np.abs(
+        np.asarray(d1) - np.asarray(d2)).max()

@@ -77,3 +77,16 @@ def test_engine_sharded_matches_single():
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(data=4, model=4)  # 16 > 8 devices
+
+
+def test_pod_mesh_and_host_slice():
+    from palu_tpu.parallel.multihost import host_local_batch_slice, make_pod_mesh
+
+    mesh = make_pod_mesh(model_parallelism=4)
+    assert mesh.devices.shape == (2, 4)
+    sl = host_local_batch_slice(8, mesh)
+    # single-process: this host owns everything
+    assert (sl.start, sl.stop) == (0, 8)
+
+    with pytest.raises(ValueError):
+        make_pod_mesh(model_parallelism=3)
