@@ -112,6 +112,7 @@ def flash_decode_latent(
     rope_theta: float,
     rv: int,
     sliding_window: Optional[int] = None,
+    k_bias: Optional[jax.Array] = None,  # (G, hpg, hd) reconstruction bias
 ) -> jax.Array:
     """Fused latent decode attention -> (B, nh, rv) latent-space output.
 
@@ -137,6 +138,8 @@ def flash_decode_latent(
             "bgcr,ghrd->bghcd", xk, b_k.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
+        if k_bias is not None:  # qwen2: K = lat @ U + b, bias pre-RoPE
+            kblk = kblk + k_bias.astype(jnp.float32)[None, :, :, None, :]
         # in-scan RoPE at absolute positions
         pos = idx * chunk + jnp.arange(chunk)
         freqs = pos[:, None].astype(jnp.float32) * inv_freq  # (C, hd/2)
@@ -189,6 +192,7 @@ def flash_prefill_latent(
     rope_theta: float,
     rv: int,
     sliding_window: Optional[int] = None,
+    k_bias: Optional[jax.Array] = None,  # (G, hpg, hd)
 ) -> jax.Array:
     """Chunked-prefill attention over the latent cache -> (B, Cq, nh, rv).
 
@@ -213,6 +217,8 @@ def flash_prefill_latent(
             "bgcr,ghrd->bghcd", xk, b_k.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
+        if k_bias is not None:
+            kblk = kblk + k_bias.astype(jnp.float32)[None, :, :, None, :]
         pos = idx * chunk + jnp.arange(chunk)  # (C,) cache positions
         freqs = pos[:, None].astype(jnp.float32) * inv_freq
         emb = jnp.concatenate([freqs, freqs], axis=-1)

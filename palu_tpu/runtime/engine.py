@@ -79,6 +79,9 @@ class Engine:
     # -- build ---------------------------------------------------------------
 
     def _build_derived(self):
+        cfg = self.cfg
+        nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        rep = nh // nkv
         derived = []
         for i, layer in enumerate(self.params["layers"]):
             attn = layer["attn"]
@@ -87,6 +90,33 @@ class Engine:
                 entry["b_k"] = build_decode_b(
                     np.asarray(attn["k_proj"]["U"], dtype=np.float32), self.cfg
                 ).astype(self.ecfg.dtype)
+                if attn["k_proj"].get("b") is not None:
+                    # qwen2: K = lat @ U + b -> per-(group, q-head) bias
+                    # applied pre-RoPE inside the fused attention
+                    bk = np.asarray(attn["k_proj"]["b"], np.float32)  # (G, gd)
+                    g = cfg.num_kv_groups
+                    hpg = nh // g
+                    kb = np.empty((g, hpg, hd), np.float32)
+                    for gi in range(g):
+                        for hj in range(hpg):
+                            j_local = hj // rep
+                            kb[gi, hj] = bk[gi, j_local * hd : (j_local + 1) * hd]
+                    entry["k_bias"] = jnp.asarray(kb, self.ecfg.dtype)
+            if "VT" in attn["v_proj"] and attn["v_proj"].get("b") is not None:
+                # V = lat @ U + b_v; softmax weights sum to 1, so the bias
+                # passes through attention unchanged -> constant correction
+                # after the fused o_proj
+                bv = np.asarray(attn["v_proj"]["b"], np.float32)  # (G, gd)
+                g = cfg.num_kv_groups
+                hpg = nh // g
+                per_qhead = np.empty((nh, hd), np.float32)
+                for gi in range(g):
+                    for hj in range(hpg):
+                        j_local = hj // rep
+                        per_qhead[gi * hpg + hj] = bv[gi, j_local * hd : (j_local + 1) * hd]
+                o_w = np.asarray(attn["o_proj"]["w"], np.float32)  # (nh*hd, H)
+                corr = per_qhead.reshape(-1) @ o_w  # (H,)
+                entry["o_bias_corr"] = jnp.asarray(corr, self.ecfg.dtype)
             derived.append(entry)
         return derived
 
@@ -228,10 +258,13 @@ class Engine:
             lat_out = att_ops.flash_prefill_latent(
                 q, read("k", rk), read("v", rv), der["b_k"],
                 num_chunks, chunk, offset, hd, cfg.rope_theta, rv,
-                cfg.sliding_window,
+                cfg.sliding_window, k_bias=der.get("k_bias"),
             )  # (B, s, nh, rv)
             attn_out = lat_out.astype(ecfg.dtype).reshape(b, s, nh * rv)
-            x = x + attn_out @ attn["o_proj"]["w_fused"]
+            delta = attn_out @ attn["o_proj"]["w_fused"]
+            if "o_bias_corr" in der:
+                delta = delta + der["o_bias_corr"]
+            x = x + delta
 
             h2 = llama.rms_norm(x, p_layer["post_norm"], cfg.rms_norm_eps)
             x = x + llama.mlp_forward(h2, p_layer["mlp"])
@@ -404,9 +437,13 @@ class Engine:
             cfg.rope_theta,
             rv,
             cfg.sliding_window,
+            k_bias=der.get("k_bias"),
         )  # (B, nh, rv)
         lat_out = lat_out.astype(ecfg.dtype).reshape(b, nh * rv)
-        return lat_out @ attn["o_proj"]["w_fused"]
+        out = lat_out @ attn["o_proj"]["w_fused"]
+        if "o_bias_corr" in der:
+            out = out + der["o_bias_corr"]
+        return out
 
     def _dense_flash_decode(self, q, entry, kv_len, chunk, num_chunks):
         """fp16/bf16-KV baseline decode (the reference's non-palu baseline,

@@ -197,3 +197,40 @@ def test_chunked_prefill_matches_full(prompt_len):
     d2, _ = e2.decode(tok, c_chunk)
     assert np.allclose(np.asarray(d1), np.asarray(d2), atol=5e-3), np.abs(
         np.asarray(d1) - np.asarray(d2)).max()
+
+
+def test_qwen2_bias_engine_matches_forward():
+    """qwen2-style attention bias: the fused decode path must reproduce the
+    reconstruct-path forward (k-bias enters pre-RoPE; v-bias survives softmax
+    as a constant through o_proj)."""
+    import dataclasses as dc
+
+    cfg = _tiny_cfg(num_key_value_heads=4)
+    cfg = dc.replace(cfg, attention_bias=True, model_family="qwen2")
+    params = llama.init_params(cfg, jax.random.key(11))
+    # give biases nonzero values (init_params zeros them)
+    rng = np.random.default_rng(11)
+    for layer in params["layers"]:
+        attn = layer["attn"]
+        attn["q_proj"]["b"] = jnp.asarray(rng.standard_normal(attn["q_proj"]["b"].shape) * 0.1, jnp.float32)
+        for which in ("k_proj", "v_proj"):
+            attn[which]["b"] = jnp.asarray(rng.standard_normal(attn[which]["b"].shape) * 0.1, jnp.float32)
+
+    from palu_tpu.compression import compress_params
+    sel = {}
+    for i in range(cfg.num_hidden_layers):
+        sel[f"model.layers.{i}.self_attn.k_proj"] = [16, 16]
+        sel[f"model.layers.{i}.self_attn.v_proj"] = [16, 16]
+    lr_params, lr_cfg = compress_params(params, cfg, sel, "svd", head_group_size=2)
+
+    ids = np.random.default_rng(12).integers(0, cfg.vocab_size, (1, 16))
+    full = np.asarray(llama.forward(lr_params, jnp.asarray(ids), lr_cfg))
+    eng = Engine(lr_params, lr_cfg, EngineConfig(s_max=32, dtype=jnp.float32, decode_chunk=8))
+    step = _stepwise_logits(eng, ids)
+    ref = full[:, ids.shape[1] // 2 - 1 :]
+    assert np.allclose(step, ref, atol=5e-3), np.abs(step - ref).max()
+
+    # chunked prefill path too
+    eng2 = Engine(lr_params, lr_cfg, EngineConfig(s_max=32, dtype=jnp.float32, decode_chunk=8))
+    lgc, cc = eng2.prefill_chunked(ids, chunk_size=8)
+    assert np.allclose(np.asarray(lgc[:, -1]), full[:, -1], atol=5e-3)
