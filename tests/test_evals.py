@@ -163,3 +163,31 @@ def test_run_zero_shot_with_fixture():
     assert "piqa" in res
     assert 0.0 <= res["piqa"]["acc"] <= 1.0
     assert 0.0 <= res["piqa"]["acc_norm"] <= 1.0
+
+
+def test_sampling():
+    import jax as _jax
+    from palu_tpu.runtime.sampling import SamplingParams, sample
+
+    logits = jnp.asarray(np.array([[0.0, 5.0, 1.0, -2.0]] * 2, np.float32))
+    # greedy
+    out = sample(logits, SamplingParams(temperature=0.0))
+    assert out.tolist() == [1, 1]
+    # temperature sampling stays within top-k support
+    key = _jax.random.key(0)
+    out = sample(logits, SamplingParams(temperature=1.0, top_k=2), key)
+    assert all(t in (1, 2) for t in out.tolist())
+    # top-p=tiny keeps only the argmax
+    out = sample(logits, SamplingParams(temperature=1.0, top_p=0.01), key)
+    assert out.tolist() == [1, 1]
+
+
+def test_lm_eval_adapter_gates_cleanly():
+    from palu_tpu.evals import lm_eval_adapter
+
+    params, cfg = _tiny_model()
+    lm = lm_eval_adapter.JaxLM(params, cfg, _FakeTokenizer())
+    assert lm.max_length == 2048
+    if not lm_eval_adapter._HAVE_LM_EVAL:
+        with pytest.raises(ImportError):
+            lm_eval_adapter.simple_evaluate(params, cfg, _FakeTokenizer(), ["piqa"])
