@@ -50,13 +50,22 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
-    from transformers import AutoTokenizer
+    try:
+        from transformers import AutoTokenizer
+    except ImportError:  # tokenizer only needed for calibration
+        AutoTokenizer = None
 
     from ..compression import compress_params, get_calib_batches, search_ranks
     from ..models import hf_io
 
     params, cfg = hf_io.load_params(args.model_name_or_path, dtype=jnp.bfloat16)
-    tokenizer = AutoTokenizer.from_pretrained(args.model_name_or_path)
+    needs_calib = (
+        args.search_method in ("fisher", "fisher_uniform")
+        or args.decompose_method == "whiten"
+    )
+    tokenizer = None
+    if needs_calib:
+        tokenizer = AutoTokenizer.from_pretrained(args.model_name_or_path)
 
     fisher_batches = None
     if args.search_method in ("fisher", "fisher_uniform"):
@@ -94,10 +103,11 @@ def main():
         base = os.path.basename(args.model_name_or_path.rstrip("/"))
         out_dir = f"{base}_ratio-{args.param_ratio_target}_gs-{args.head_group_size}-{args.search_method}"
     hf_io.save_checkpoint(new_params, new_cfg, out_dir, args.model_name_or_path)
-    try:
-        tokenizer.save_pretrained(out_dir)
-    except Exception:
-        pass
+    if tokenizer is not None:
+        try:
+            tokenizer.save_pretrained(out_dir)
+        except Exception:
+            pass
     print(f"[compress] saved Palu checkpoint to {out_dir}")
 
 

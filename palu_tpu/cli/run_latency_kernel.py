@@ -70,7 +70,7 @@ def main():
         b_k = jnp.asarray(rng.standard_normal((g, hpg, rk, hd)) * 0.1, jnp.bfloat16)
         x_k = jnp.asarray(rng.standard_normal((1, g, s_max, rk)), jnp.bfloat16)
         x_v = jnp.asarray(rng.standard_normal((1, g, s_max, rv)), jnp.bfloat16)
-        kvl = jnp.asarray(seq_len, jnp.int32)
+        kvl = jnp.full((1,), seq_len, jnp.int32)
         row = {"seq_len": seq_len}
 
         if "ours" in args.providers:

@@ -132,6 +132,7 @@ def _make_decode_kernel(
     rk: int,
     rv: int,
     compute_dtype=jnp.bfloat16,
+    head_major_acc: bool = True,
 ):
     quantized = qcfg is not None and qcfg.enabled
     cdt = compute_dtype
@@ -207,26 +208,42 @@ def _make_decode_kernel(
         p = jnp.where(valid, p, 0.0)
         l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
 
-        # transposed value update: (rv, BS) @ (BS, hpg) -> (rv, hpg)
-        pv = jax.lax.dot_general(
-            xv, p.astype(cdt), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scr[...] = acc_scr[...] * alpha + pv
-        m_scr[0:1, :] = m_new
-        l_scr[0:1, :] = l_new
+        if head_major_acc:
+            # transpose the SMALL probs matrix (BS, hpg) -> (hpg, BS) and do
+            # a natural matmul against xv; transposing xv instead costs a
+            # full-block lane/sublane shuffle per step
+            p_t = p.astype(cdt).T  # (hpg, BS)
+            pv = jnp.dot(p_t, xv, preferred_element_type=jnp.float32)  # (hpg, rv)
+            alpha_col = alpha.T  # (hpg, 1)
+            acc_scr[...] = acc_scr[...] * alpha_col + pv
+            m_scr[0:1, :] = m_new
+            l_scr[0:1, :] = l_new
 
-        @pl.when(sblk == nblk - 1)
-        def _finalize():
-            out_ref[...] = (acc_scr[...] / l_scr[0:1, :]).astype(out_ref.dtype)
+            @pl.when(sblk == nblk - 1)
+            def _finalize():
+                out_ref[...] = (acc_scr[...] / l_scr[0:1, :].T).astype(out_ref.dtype)
+        else:
+            # transposed value update: (rv, BS) @ (BS, hpg) -> (rv, hpg)
+            pv = jax.lax.dot_general(
+                xv, p.astype(cdt), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[...] = acc_scr[...] * alpha + pv
+            m_scr[0:1, :] = m_new
+            l_scr[0:1, :] = l_new
+
+            @pl.when(sblk == nblk - 1)
+            def _finalize():
+                out_ref[...] = (acc_scr[...] / l_scr[0:1, :]).astype(out_ref.dtype)
 
     return kernel
 
 
 def _common_call(kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra_in_specs,
-                 interpret, inputs):
+                 interpret, inputs, head_major_acc=True):
     half = hd // 2
     grid = (b, g, s_max // block_s)
+    acc_shape = (hpg, rv) if head_major_acc else (rv, hpg)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -250,24 +267,27 @@ def _common_call(kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra_in_specs,
             ]
             + extra_in_specs,
             out_specs=pl.BlockSpec(
-                (None, None, rv, hpg), lambda bi, gi, si, *_: (bi, gi, 0, 0)
+                (None, None) + acc_shape, lambda bi, gi, si, *_: (bi, gi, 0, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((8, hpg), jnp.float32),
                 pltpu.VMEM((8, hpg), jnp.float32),
-                pltpu.VMEM((rv, hpg), jnp.float32),
+                pltpu.VMEM(acc_shape, jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, g, rv, hpg), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, g) + acc_shape, jnp.float32),
         interpret=interpret,
     )(*inputs)
+    if head_major_acc:
+        return out.reshape(b, g * hpg, rv)
     # (B, G, rv, hpg) -> (B, nh, rv)
     return out.transpose(0, 1, 3, 2).reshape(b, g * hpg, rv)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_s", "theta", "sliding_window", "interpret", "compute_dtype"),
+    static_argnames=("block_s", "theta", "sliding_window", "interpret",
+                     "compute_dtype", "head_major_acc"),
 )
 def palu_flash_decode(
     q: jax.Array,  # (B, nh, hd) roped at the current position
@@ -281,6 +301,7 @@ def palu_flash_decode(
     sliding_window: Optional[int] = None,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
+    head_major_acc: bool = True,
 ) -> jax.Array:
     """Fused decode attention -> (B, nh, rv) latent-space output (feed into
     the U_v-fused o_proj)."""
@@ -295,7 +316,7 @@ def palu_flash_decode(
     kernel = _make_decode_kernel(
         block_s=block_s, theta=theta, hd=hd, hpg=hpg,
         sliding_window=sliding_window, qcfg=None, rk=rk, rv=rv,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, head_major_acc=head_major_acc,
     )
     extra = [
         pl.BlockSpec((None, None, block_s, rk), lambda bi, gi, si, *_: (bi, gi, si, 0)),
@@ -304,12 +325,14 @@ def palu_flash_decode(
     return _common_call(
         kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra, interpret,
         (jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,)), q1, q2, b1, b2, x_k, x_v),
+        head_major_acc=head_major_acc,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window", "interpret", "compute_dtype"),
+    static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window",
+                     "interpret", "compute_dtype", "head_major_acc"),
 )
 def palu_flash_decode_quantized(
     q: jax.Array,  # (B, nh, hd)
@@ -330,6 +353,7 @@ def palu_flash_decode_quantized(
     sliding_window: Optional[int] = None,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
+    head_major_acc: bool = True,
 ) -> jax.Array:
     """Decode attention with dequantization of the packed latent cache fused
     into the streaming pass. Requires per-row scales (qcfg.group_size == 0)."""
@@ -347,7 +371,7 @@ def palu_flash_decode_quantized(
     kernel = _make_decode_kernel(
         block_s=block_s, theta=theta, hd=hd, hpg=hpg,
         sliding_window=sliding_window, qcfg=qcfg, rk=rk, rv=rv,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, head_major_acc=head_major_acc,
     )
 
     def blk(last):
@@ -364,4 +388,5 @@ def palu_flash_decode_quantized(
             xk_codes, xk_scales, xk_base,
             xv_codes, xv_scales, xv_base,
         ),
+        head_major_acc=head_major_acc,
     )
