@@ -43,6 +43,8 @@ class EngineConfig:
     qcfg: Optional[quant.QuantConfig] = None
     decode_chunk: int = 512
     use_pallas: bool = False  # fused Pallas decode kernel (TPU)
+    pallas_interpret: bool = False  # interpret mode (CPU tests)
+    mesh: Any = None  # jax.sharding.Mesh for shard_map'd kernels (TP decode)
 
 
 def build_decode_b(u_k: np.ndarray, cfg: ModelConfig) -> jnp.ndarray:
@@ -389,27 +391,65 @@ class Engine:
         rk = attn["k_proj"]["U"].shape[1]
         rv = attn["v_proj"]["U"].shape[1]
 
-        if ecfg.use_pallas:
+        if ecfg.use_pallas and "k_bias" not in der:
+            # (models with k-projection bias -- qwen2 -- use the XLA path
+            # below until the kernel grows a bias operand)
             from ..ops.pallas import palu_decode as pk
 
             block_s = min(ecfg.decode_chunk, ecfg.s_max)
-            if ecfg.qcfg is not None and ecfg.qcfg.enabled:
-                lat_out = pk.palu_flash_decode_quantized(
-                    q, der["b_k"],
-                    entry["k"]["codes"], entry["k"]["scales"], entry["k"]["base"],
-                    entry["v"]["codes"], entry["v"]["scales"], entry["v"]["base"],
-                    kv_len,
-                    qcfg=ecfg.qcfg, rk=rk, rv=rv, block_s=block_s,
-                    theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
-                )
-            else:
-                lat_out = pk.palu_flash_decode(
-                    q, der["b_k"], entry["k"]["lat"], entry["v"]["lat"], kv_len,
+
+            def kernel_call(q_, b_k_, k_bufs, v_bufs, kv_len_):
+                if ecfg.qcfg is not None and ecfg.qcfg.enabled:
+                    return pk.palu_flash_decode_quantized(
+                        q_, b_k_,
+                        k_bufs["codes"], k_bufs["scales"], k_bufs["base"],
+                        v_bufs["codes"], v_bufs["scales"], v_bufs["base"],
+                        kv_len_,
+                        qcfg=ecfg.qcfg, rk=rk, rv=rv, block_s=block_s,
+                        theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
+                        interpret=ecfg.pallas_interpret,
+                    )
+                return pk.palu_flash_decode(
+                    q_, b_k_, k_bufs["lat"], v_bufs["lat"], kv_len_,
                     block_s=block_s, theta=cfg.rope_theta,
                     sliding_window=cfg.sliding_window,
+                    interpret=ecfg.pallas_interpret,
                 )
+
+            if ecfg.mesh is not None:
+                # pallas_call is not GSPMD-partitionable; run per-shard via
+                # shard_map: head groups over `model`, batch over `data`. The
+                # fused o_proj matmul outside triggers the psum.
+                from jax.sharding import PartitionSpec as P
+                from jax.experimental.shard_map import shard_map
+
+                buf_spec_k = jax.tree.map(
+                    lambda _: P("data", "model", None, None), entry["k"]
+                )
+                buf_spec_v = jax.tree.map(
+                    lambda _: P("data", "model", None, None), entry["v"]
+                )
+                lat_out = shard_map(
+                    kernel_call,
+                    mesh=ecfg.mesh,
+                    in_specs=(
+                        P("data", "model", None),
+                        P("model", None, None, None),
+                        buf_spec_k,
+                        buf_spec_v,
+                        P("data"),
+                    ),
+                    out_specs=P("data", "model", None),
+                    check_rep=False,
+                )(q, der["b_k"], entry["k"], entry["v"],
+                  jnp.broadcast_to(kv_len, (b,)))
+            else:
+                lat_out = kernel_call(q, der["b_k"], entry["k"], entry["v"], kv_len)
             lat_out = lat_out.astype(ecfg.dtype).reshape(b, nh * rv)
-            return lat_out @ attn["o_proj"]["w_fused"]
+            out = lat_out @ attn["o_proj"]["w_fused"]
+            if "o_bias_corr" in der:
+                out = out + der["o_bias_corr"]
+            return out
 
         def read_k(idx):
             buf = jax.tree.map(

@@ -90,3 +90,31 @@ def test_pod_mesh_and_host_slice():
 
     with pytest.raises(ValueError):
         make_pod_mesh(model_parallelism=3)
+
+
+def test_engine_pallas_shard_map_matches_xla():
+    """The shard_map'd Pallas decode (interpret mode on the CPU mesh) must
+    match the GSPMD XLA decode path."""
+    import jax.numpy as jnp
+    from palu_tpu.runtime.engine import Engine, EngineConfig
+
+    params, cfg = _model(seed=3)
+    ids = np.random.default_rng(3).integers(0, cfg.vocab_size, (2, 8))
+    mesh = make_mesh(data=2, model=4)
+    sharded = shard_tree(params, param_shardings(params, mesh))
+
+    e_xla = Engine(sharded, cfg, EngineConfig(s_max=16, batch=2,
+                                              dtype=jnp.float32, decode_chunk=8))
+    c0 = shard_tree(e_xla.init_cache(), cache_shardings(e_xla.init_cache(), mesh))
+    lg1, c1 = e_xla.prefill(ids, c0)
+    d1, _ = e_xla.decode(np.asarray([[3], [5]]), c1)
+
+    e_pal = Engine(sharded, cfg, EngineConfig(
+        s_max=16, batch=2, dtype=jnp.float32, decode_chunk=8,
+        use_pallas=True, pallas_interpret=True, mesh=mesh))
+    c0b = shard_tree(e_pal.init_cache(), cache_shardings(e_pal.init_cache(), mesh))
+    lg2, c2 = e_pal.prefill(ids, c0b)
+    d2, _ = e_pal.decode(np.asarray([[3], [5]]), c2)
+
+    assert np.allclose(np.asarray(d1), np.asarray(d2), atol=3e-3), np.abs(
+        np.asarray(d1) - np.asarray(d2)).max()
