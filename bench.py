@@ -161,10 +161,10 @@ def bench_attention_module(
 
         chained_jit = jax.jit(chained, donate_argnums=(1,))
         x_out, bufs = chained_jit(x0, bufs)  # compile + warmup run
-        x_out.block_until_ready()
-        t0 = time.perf_counter()
+        _ = np.asarray(x_out[0, :1])  # fetch: block_until_ready can ack
+        t0 = time.perf_counter()      # before compute on tunneled backends
         x_out, bufs = chained_jit(x_out, bufs)
-        x_out.block_until_ready()
+        _ = np.asarray(x_out[0, :1])
         return float((time.perf_counter() - t0) / n_steps * 1e3)
 
     log(f"# compiling palu step (s_max={s_max})...", file=sys.stderr)
