@@ -239,6 +239,159 @@ def _make_decode_kernel(
     return kernel
 
 
+
+
+def _make_decode_kernel_merged(
+    *,
+    block_s: int,
+    theta: float,
+    hd: int,
+    g: int,
+    hpg: int,
+    sliding_window: Optional[int],
+    qcfg: Optional[QuantConfig],
+    rk: int,
+    rv: int,
+    compute_dtype=jnp.bfloat16,
+):
+    """All head groups in one grid step (grid = (B, S/BS)).
+
+    The split-group kernel wastes the VPU badly: softmax elementwise ops on
+    (BS, hpg=4) tensors pad to 128 lanes (32x idle), and the RoPE tables are
+    recomputed per group. Merging groups makes the softmax run on (BS, nh)
+    once, shares cos/sin across groups, and cuts grid steps by G -- per-step
+    DMA grows to G blocks, which is what actually keeps the HBM pipe busy.
+    """
+    quantized = qcfg is not None and qcfg.enabled
+    cdt = compute_dtype
+    nh = g * hpg
+
+    def kernel(*refs):
+        if quantized:
+            (kv_len_ref, q1_ref, q2_ref, b1_ref, b2_ref,
+             xk_codes, xk_scales, xk_base,
+             xv_codes, xv_scales, xv_base,
+             out_ref, m_scr, l_scr, acc_scr) = refs
+        else:
+            (kv_len_ref, q1_ref, q2_ref, b1_ref, b2_ref, xk_ref, xv_ref,
+             out_ref, m_scr, l_scr, acc_scr) = refs
+
+        sblk = pl.program_id(1)
+        nblk = pl.num_programs(1)
+        kv_len = kv_len_ref[pl.program_id(0)]
+
+        @pl.when(sblk == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -1e30)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        half = hd // 2
+        pos_start = sblk * block_s
+        cos, sin = _rope_tables(jnp.int32(pos_start), block_s, half, theta, hpg)
+        cos = cos.astype(jnp.float32)
+        sin = sin.astype(jnp.float32)
+
+        pos = jax.lax.broadcasted_iota(jnp.int32, (block_s, 1), 0) + pos_start
+        valid = pos < kv_len  # (BS, 1)
+        if sliding_window is not None:
+            valid = jnp.logical_and(valid, pos > (kv_len - 1) - sliding_window)
+
+        if quantized:
+            q_min = -(2 ** (qcfg.bits - 1)) if qcfg.sym else 0
+
+            def dequant(codes, scales, base, rank):
+                c = _unpack_block(codes.astype(jnp.int32), qcfg.bits, rank)
+                return ((c + q_min).astype(jnp.float32) - base) * scales
+
+        scale = 1.0 / np.sqrt(hd)
+        parts = []
+        for gi in range(g):  # static unroll over head groups
+            if quantized:
+                x = dequant(xk_codes[gi], xk_scales[gi], xk_base[gi], rk).astype(cdt)
+            else:
+                x = xk_ref[gi].astype(cdt)  # (BS, rk)
+            xb1 = jnp.dot(x, b1_ref[gi].astype(cdt),
+                          preferred_element_type=jnp.float32)
+            xb2 = jnp.dot(x, b2_ref[gi].astype(cdt),
+                          preferred_element_type=jnp.float32)
+            r1 = (xb1 * cos - xb2 * sin).astype(cdt)
+            r2 = (xb2 * cos + xb1 * sin).astype(cdt)
+            lg = (
+                jnp.dot(r1, q1_ref[gi].astype(cdt),
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(r2, q2_ref[gi].astype(cdt),
+                          preferred_element_type=jnp.float32)
+            )  # (BS, hpg)
+            parts.append(lg)
+        logits = jnp.concatenate(parts, axis=1) * scale  # (BS, nh)
+        logits = jnp.where(valid, logits, -1e30)
+
+        m_prev = m_scr[0:1, :]  # (1, nh)
+        l_prev = l_scr[0:1, :]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=0, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)  # (1, nh)
+        p = jnp.exp(logits - m_new)
+        p = jnp.where(valid, p, 0.0)
+        l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
+
+        p_t = p.astype(cdt).T  # (nh, BS) -- one small transpose
+        alpha_col = alpha.T  # (nh, 1)
+        for gi in range(g):
+            if quantized:
+                xv = dequant(xv_codes[gi], xv_scales[gi], xv_base[gi], rv).astype(cdt)
+            else:
+                xv = xv_ref[gi].astype(cdt)  # (BS, rv)
+            pv = jnp.dot(p_t[gi * hpg : (gi + 1) * hpg, :], xv,
+                         preferred_element_type=jnp.float32)  # (hpg, rv)
+            sl = slice(gi * hpg, (gi + 1) * hpg)
+            acc_scr[sl, :] = acc_scr[sl, :] * alpha_col[sl] + pv
+        m_scr[0:1, :] = m_new
+        l_scr[0:1, :] = l_new
+
+        @pl.when(sblk == nblk - 1)
+        def _finalize():
+            out_ref[...] = (acc_scr[...] / l_scr[0:1, :].T).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _merged_call(kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra_in_specs,
+                 interpret, inputs):
+    half = hd // 2
+    nh = g * hpg
+    grid = (b, s_max // block_s)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (None, g, hpg * half, hpg), lambda bi, si, *_: (bi, 0, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (None, g, hpg * half, hpg), lambda bi, si, *_: (bi, 0, 0, 0)
+                ),
+                pl.BlockSpec((g, rk, hpg * half), lambda bi, si, *_: (0, 0, 0)),
+                pl.BlockSpec((g, rk, hpg * half), lambda bi, si, *_: (0, 0, 0)),
+            ]
+            + extra_in_specs,
+            out_specs=pl.BlockSpec(
+                (None, nh, rv), lambda bi, si, *_: (bi, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((8, nh), jnp.float32),
+                pltpu.VMEM((8, nh), jnp.float32),
+                pltpu.VMEM((nh, rv), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nh, rv), jnp.float32),
+        interpret=interpret,
+    )(*inputs)
+    return out
+
+
 def _common_call(kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra_in_specs,
                  interpret, inputs, head_major_acc=True):
     half = hd // 2
@@ -287,7 +440,7 @@ def _common_call(kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra_in_specs,
 @functools.partial(
     jax.jit,
     static_argnames=("block_s", "theta", "sliding_window", "interpret",
-                     "compute_dtype", "head_major_acc"),
+                     "compute_dtype", "head_major_acc", "impl"),
 )
 def palu_flash_decode(
     q: jax.Array,  # (B, nh, hd) roped at the current position
@@ -302,6 +455,7 @@ def palu_flash_decode(
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
     head_major_acc: bool = True,
+    impl: str = "merged",
 ) -> jax.Array:
     """Fused decode attention -> (B, nh, rv) latent-space output (feed into
     the U_v-fused o_proj)."""
@@ -312,6 +466,22 @@ def palu_flash_decode(
 
     b1, b2 = split_b_halves(b_k)
     q1, q2 = _q_blockdiag(q, g, hpg, hd // 2)
+    kvl = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
+
+    if impl == "merged":
+        kernel = _make_decode_kernel_merged(
+            block_s=block_s, theta=theta, hd=hd, g=g, hpg=hpg,
+            sliding_window=sliding_window, qcfg=None, rk=rk, rv=rv,
+            compute_dtype=compute_dtype,
+        )
+        extra = [
+            pl.BlockSpec((None, g, block_s, rk), lambda bi, si, *_: (bi, 0, si, 0)),
+            pl.BlockSpec((None, g, block_s, rv), lambda bi, si, *_: (bi, 0, si, 0)),
+        ]
+        return _merged_call(
+            kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra, interpret,
+            (kvl, q1, q2, b1, b2, x_k, x_v),
+        )
 
     kernel = _make_decode_kernel(
         block_s=block_s, theta=theta, hd=hd, hpg=hpg,
@@ -324,7 +494,7 @@ def palu_flash_decode(
     ]
     return _common_call(
         kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra, interpret,
-        (jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,)), q1, q2, b1, b2, x_k, x_v),
+        (kvl, q1, q2, b1, b2, x_k, x_v),
         head_major_acc=head_major_acc,
     )
 
@@ -332,7 +502,7 @@ def palu_flash_decode(
 @functools.partial(
     jax.jit,
     static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window",
-                     "interpret", "compute_dtype", "head_major_acc"),
+                     "interpret", "compute_dtype", "head_major_acc", "impl"),
 )
 def palu_flash_decode_quantized(
     q: jax.Array,  # (B, nh, hd)
@@ -354,6 +524,7 @@ def palu_flash_decode_quantized(
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
     head_major_acc: bool = True,
+    impl: str = "merged",
 ) -> jax.Array:
     """Decode attention with dequantization of the packed latent cache fused
     into the streaming pass. Requires per-row scales (qcfg.group_size == 0)."""
@@ -367,6 +538,27 @@ def palu_flash_decode_quantized(
 
     b1, b2 = split_b_halves(b_k)
     q1, q2 = _q_blockdiag(q, g, hpg, hd // 2)
+    kvl = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
+    quant_inputs = (kvl, q1, q2, b1, b2, xk_codes, xk_scales, xk_base,
+                    xv_codes, xv_scales, xv_base)
+
+    if impl == "merged":
+        kernel = _make_decode_kernel_merged(
+            block_s=block_s, theta=theta, hd=hd, g=g, hpg=hpg,
+            sliding_window=sliding_window, qcfg=qcfg, rk=rk, rv=rv,
+            compute_dtype=compute_dtype,
+        )
+
+        def mblk(last):
+            return pl.BlockSpec(
+                (None, g, block_s, last), lambda bi, si, *_: (bi, 0, si, 0)
+            )
+
+        extra = [mblk(nbk), mblk(1), mblk(1), mblk(nbv), mblk(1), mblk(1)]
+        return _merged_call(
+            kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra, interpret,
+            quant_inputs,
+        )
 
     kernel = _make_decode_kernel(
         block_s=block_s, theta=theta, hd=hd, hpg=hpg,
@@ -382,11 +574,6 @@ def palu_flash_decode_quantized(
     extra = [blk(nbk), blk(1), blk(1), blk(nbv), blk(1), blk(1)]
     return _common_call(
         kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra, interpret,
-        (
-            jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,)),
-            q1, q2, b1, b2,
-            xk_codes, xk_scales, xk_base,
-            xv_codes, xv_scales, xv_base,
-        ),
+        quant_inputs,
         head_major_acc=head_major_acc,
     )

@@ -70,7 +70,8 @@ def profile_tpot(
     # warmup + compile (uses the raw jitted step: no host sync per step)
     for _ in range(warmup):
         logits, cache = engine._decode_jit(engine.params, cache, token)
-    logits.block_until_ready()
+    _ = np.asarray(logits[:, :, :1])  # fetch: forces completion even on
+    # tunneled backends where block_until_ready acks early
 
     times = []
     ctx = jax.profiler.trace(trace_dir) if trace_dir else _null_ctx()
@@ -78,7 +79,7 @@ def profile_tpot(
         for _ in range(n_steps):
             t0 = time.perf_counter()
             logits, cache = engine._decode_jit(engine.params, cache, token)
-            logits.block_until_ready()
+            _ = np.asarray(logits[:, :, :1])
             times.append((time.perf_counter() - t0) * 1e3)
     times = np.asarray(times)
     return {

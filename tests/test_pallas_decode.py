@@ -49,12 +49,14 @@ def _xla_reference(q, b_k, x_k, x_v, kv_len, chunk=64, sliding_window=None,
     )
 
 
+@pytest.mark.parametrize("impl", ["merged", "split"])
 @pytest.mark.parametrize("kv_len", [200, 256, 1])
-def test_pallas_decode_matches_xla(kv_len):
+def test_pallas_decode_matches_xla(kv_len, impl):
     q, b_k, x_k, x_v, kvl = _setup(kv_len=kv_len)
     ref = np.asarray(_xla_reference(q, b_k, x_k, x_v, kvl))
     out = np.asarray(
-        palu_flash_decode(q, b_k, x_k, x_v, kvl, block_s=64, interpret=True, compute_dtype=jnp.float32)
+        palu_flash_decode(q, b_k, x_k, x_v, kvl, block_s=64, interpret=True,
+                          compute_dtype=jnp.float32, impl=impl)
     )
     assert out.shape == ref.shape
     assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
@@ -90,8 +92,9 @@ def test_pallas_decode_nonstandard_theta_and_head_dim():
     assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
 
 
+@pytest.mark.parametrize("impl", ["merged", "split"])
 @pytest.mark.parametrize("bits", [4, 3, 2])
-def test_pallas_decode_quantized_matches_dequant_xla(bits):
+def test_pallas_decode_quantized_matches_dequant_xla(bits, impl):
     """Fused-dequant kernel == XLA path on pre-dequantized latents."""
     qcfg = QuantConfig(bits=bits, group_size=0, sym=False)
     q, b_k, x_k, x_v, kvl = _setup(rk=32, rv=64, kv_len=200)
@@ -113,7 +116,7 @@ def test_pallas_decode_quantized_matches_dequant_xla(bits):
             vc_packed, vs.astype(jnp.float32), vb.astype(jnp.float32),
             kvl,
             qcfg=qcfg, rk=32, rv=64, block_s=64, interpret=True,
-            compute_dtype=jnp.float32,
+            compute_dtype=jnp.float32, impl=impl,
         )
     )
     assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
