@@ -234,3 +234,25 @@ def test_qwen2_bias_engine_matches_forward():
     eng2 = Engine(lr_params, lr_cfg, EngineConfig(s_max=32, dtype=jnp.float32, decode_chunk=8))
     lgc, cc = eng2.prefill_chunked(ids, chunk_size=8)
     assert np.allclose(np.asarray(lgc[:, -1]), full[:, -1], atol=5e-3)
+
+
+def test_ragged_ranks_across_layers():
+    """fisher_uniform produces different ranks per layer; the cache is a
+    per-layer pytree so this must work end to end."""
+    cfg = _tiny_cfg(num_hidden_layers=2)
+    params = llama.init_params(cfg, jax.random.key(20))
+    from palu_tpu.compression import compress_params
+
+    sel = {
+        "model.layers.0.self_attn.k_proj": [8, 8],
+        "model.layers.0.self_attn.v_proj": [16, 16],
+        "model.layers.1.self_attn.k_proj": [12, 12],
+        "model.layers.1.self_attn.v_proj": [8, 8],
+    }
+    lr_params, lr_cfg = compress_params(params, cfg, sel, "svd", head_group_size=2)
+    ids = np.random.default_rng(20).integers(0, cfg.vocab_size, (1, 12))
+    full = np.asarray(llama.forward(lr_params, jnp.asarray(ids), lr_cfg))
+    eng = Engine(lr_params, lr_cfg, EngineConfig(s_max=16, dtype=jnp.float32, decode_chunk=8))
+    step = _stepwise_logits(eng, ids)
+    ref = full[:, ids.shape[1] // 2 - 1 :]
+    assert np.allclose(step, ref, atol=5e-3), np.abs(step - ref).max()
