@@ -256,3 +256,21 @@ def test_ragged_ranks_across_layers():
     step = _stepwise_logits(eng, ids)
     ref = full[:, ids.shape[1] // 2 - 1 :]
     assert np.allclose(step, ref, atol=5e-3), np.abs(step - ref).max()
+
+
+@pytest.mark.parametrize("bits", [16, 3])
+def test_engine_pallas_path_matches_xla(bits):
+    """use_pallas (interpret) engine == XLA engine, fp and 3-bit cache."""
+    params, cfg = _lowrank_model(seed=21, rank=16, gs=2)
+    qcfg = QuantConfig(bits=bits, group_size=0) if bits < 16 else None
+    ids = np.random.default_rng(21).integers(0, cfg.vocab_size, (1, 12))
+
+    e_xla = Engine(params, cfg, EngineConfig(s_max=16, dtype=jnp.float32,
+                                             qcfg=qcfg, decode_chunk=8))
+    e_pal = Engine(params, cfg, EngineConfig(s_max=16, dtype=jnp.float32,
+                                             qcfg=qcfg, decode_chunk=8,
+                                             use_pallas=True,
+                                             pallas_interpret=True))
+    s1 = _stepwise_logits(e_xla, ids)
+    s2 = _stepwise_logits(e_pal, ids)
+    assert np.allclose(s1, s2, atol=3e-3), np.abs(s1 - s2).max()
