@@ -171,11 +171,11 @@ def _make_decode_kernel(
 
             def dequant(codes_ref, scales_ref, base_ref, rank):
                 codes = _unpack_block(codes_ref[...].astype(jnp.int32), qcfg.bits, rank)
-                vals = (codes + q_min).astype(jnp.float32)
-                return (vals - base_ref[...]) * scales_ref[...]
+                vals = (codes + q_min).astype(cdt)
+                return (vals - base_ref[...].astype(cdt)) * scales_ref[...].astype(cdt)
 
-            x = dequant(xk_codes, xk_scales, xk_base, rk).astype(cdt)
-            xv = dequant(xv_codes, xv_scales, xv_base, rv).astype(cdt)
+            x = dequant(xk_codes, xk_scales, xk_base, rk)
+            xv = dequant(xv_codes, xv_scales, xv_base, rv)
         else:
             x = xk_ref[...].astype(cdt)
             xv = xv_ref[...].astype(cdt)
@@ -302,13 +302,15 @@ def _make_decode_kernel_merged(
 
             def dequant(codes, scales, base, rank):
                 c = _unpack_block(codes.astype(jnp.int32), qcfg.bits, rank)
-                return ((c + q_min).astype(jnp.float32) - base) * scales
+                # dequantize directly in the compute dtype: fp32 temporaries
+                # for G unrolled groups blow the VMEM budget
+                return (((c + q_min).astype(cdt)) - base.astype(cdt)) * scales.astype(cdt)
 
         scale = 1.0 / np.sqrt(hd)
         parts = []
         for gi in range(g):  # static unroll over head groups
             if quantized:
-                x = dequant(xk_codes[gi], xk_scales[gi], xk_base[gi], rk).astype(cdt)
+                x = dequant(xk_codes[gi], xk_scales[gi], xk_base[gi], rk)
             else:
                 x = xk_ref[gi].astype(cdt)  # (BS, rk)
             xb1 = jnp.dot(x, b1_ref[gi].astype(cdt),
@@ -339,7 +341,7 @@ def _make_decode_kernel_merged(
         alpha_col = alpha.T  # (nh, 1)
         for gi in range(g):
             if quantized:
-                xv = dequant(xv_codes[gi], xv_scales[gi], xv_base[gi], rv).astype(cdt)
+                xv = dequant(xv_codes[gi], xv_scales[gi], xv_base[gi], rv)
             else:
                 xv = xv_ref[gi].astype(cdt)  # (BS, rv)
             pv = jnp.dot(p_t[gi * hpg : (gi + 1) * hpg, :], xv,
