@@ -92,6 +92,15 @@ def profile_tpot(
     }
 
 
+def device_memory_stats() -> dict:
+    """HBM usage of the first device (torch.profiler memory-timeline analog;
+    SURVEY.md section 5). Keys vary by backend; {} when unsupported."""
+    try:
+        return dict(jax.local_devices()[0].memory_stats() or {})
+    except Exception:
+        return {}
+
+
 class _null_ctx:
     def __enter__(self):
         return self
