@@ -113,6 +113,8 @@ def flash_decode_latent(
     rv: int,
     sliding_window: Optional[int] = None,
     k_bias: Optional[jax.Array] = None,  # (G, hpg, hd) reconstruction bias
+    pos_offset: jax.Array | int = 0,  # absolute position of chunk 0 (seq sharding)
+    return_stats: bool = False,
 ) -> jax.Array:
     """Fused latent decode attention -> (B, nh, rv) latent-space output.
 
@@ -141,7 +143,7 @@ def flash_decode_latent(
         if k_bias is not None:  # qwen2: K = lat @ U + b, bias pre-RoPE
             kblk = kblk + k_bias.astype(jnp.float32)[None, :, :, None, :]
         # in-scan RoPE at absolute positions
-        pos = idx * chunk + jnp.arange(chunk)
+        pos = pos_offset + idx * chunk + jnp.arange(chunk)
         freqs = pos[:, None].astype(jnp.float32) * inv_freq  # (C, hd/2)
         emb = jnp.concatenate([freqs, freqs], axis=-1)
         cos, sin = jnp.cos(emb), jnp.sin(emb)
@@ -176,6 +178,8 @@ def flash_decode_latent(
     l0 = jnp.zeros((b, g, hpg), jnp.float32)
     acc0 = jnp.zeros((b, g, hpg, rv), jnp.float32)
     (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(num_chunks))
+    if return_stats:
+        return m, l, acc  # (B,G,hpg), (B,G,hpg), (B,G,hpg,rv)
     out = acc / l[..., None]
     return out.reshape(b, nh, rv)
 
@@ -253,3 +257,67 @@ def flash_prefill_latent(
     (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(num_chunks))
     out = acc / l[..., None]  # (B, G, hpg, Cq, rv)
     return out.transpose(0, 3, 1, 2, 4).reshape(b, cq, nh, rv)
+
+
+def flash_decode_latent_seq_sharded(
+    q: jax.Array,  # (B, nh, hd) roped, replicated over the seq axis
+    x_k: jax.Array,  # (B, G, S_max, rk) -- to be sharded over `axis` on dim 2
+    x_v: jax.Array,  # (B, G, S_max, rv)
+    b_k: jax.Array,  # (G, hpg, rk, hd) replicated
+    kv_len: jax.Array,  # (B,) global lengths
+    mesh,
+    axis: str,
+    chunk: int,
+    head_dim: int,
+    rope_theta: float,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Sequence-parallel fused decode: the latent cache is sharded along the
+    sequence dim over `axis`; each shard computes partial flash stats
+    (m, l, acc) over its slice with absolute-position RoPE, then the
+    flash-decoding combine (pmax on m, rescaled psums of l and acc) merges
+    shards. This is the SURVEY section-5 long-context design: per-block work
+    is exactly the abx kernel body, the combine is one (m, l, o) reduction.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape[axis]
+    b, nh, hd = q.shape
+    g, hpg = b_k.shape[0], b_k.shape[1]
+    s_max, rv = x_k.shape[2], x_v.shape[3]
+    s_local = s_max // n_shards
+    assert s_local % chunk == 0
+
+    def shard_fn(q_, xk_, xv_, kvl_):
+        idx = jax.lax.axis_index(axis)
+        offset = idx * s_local
+        m, l, acc = flash_decode_latent(
+            q_,
+            lambda i: jax.lax.dynamic_slice_in_dim(xk_, i * chunk, chunk, 2),
+            lambda i: jax.lax.dynamic_slice_in_dim(xv_, i * chunk, chunk, 2),
+            b_k,
+            s_local // chunk,
+            chunk,
+            kvl_,
+            head_dim,
+            rope_theta,
+            rv,
+            sliding_window,
+            pos_offset=offset,
+            return_stats=True,
+        )
+        m_g = jax.lax.pmax(m, axis)
+        scale_ = jnp.exp(m - m_g)
+        l_g = jax.lax.psum(l * scale_, axis)
+        acc_g = jax.lax.psum(acc * scale_[..., None], axis)
+        out = acc_g / l_g[..., None]
+        return out.reshape(q_.shape[0], nh, rv)
+
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, None, axis, None), P(None, None, axis, None), P()),
+        out_specs=P(),
+        check_rep=False,
+    )(q, x_k, x_v, kv_len)

@@ -118,3 +118,34 @@ def test_engine_pallas_shard_map_matches_xla():
 
     assert np.allclose(np.asarray(d1), np.asarray(d2), atol=3e-3), np.abs(
         np.asarray(d1) - np.asarray(d2)).max()
+
+
+def test_seq_sharded_decode_matches_single():
+    """Flash-decoding sequence sharding: cache split over a 'seq' mesh axis,
+    partial-softmax combine == single-device result."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from palu_tpu.ops import attention as att_ops
+
+    rng = np.random.default_rng(0)
+    b, g, hpg, rk, rv, hd, s_max, kv_len_v = 1, 2, 4, 32, 64, 128, 256, 200
+    q = jnp.asarray(rng.standard_normal((b, g * hpg, hd)), jnp.float32)
+    b_k = jnp.asarray(rng.standard_normal((g, hpg, rk, hd)) * 0.1, jnp.float32)
+    x_k = jnp.asarray(rng.standard_normal((b, g, s_max, rk)), jnp.float32)
+    x_v = jnp.asarray(rng.standard_normal((b, g, s_max, rv)), jnp.float32)
+    kvl = jnp.full((b,), kv_len_v, jnp.int32)
+
+    chunk = 32
+    single = att_ops.flash_decode_latent(
+        q,
+        lambda i: jax.lax.dynamic_slice_in_dim(x_k, i * chunk, chunk, 2),
+        lambda i: jax.lax.dynamic_slice_in_dim(x_v, i * chunk, chunk, 2),
+        b_k, s_max // chunk, chunk, kvl, hd, 10000.0, rv, None,
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("seq",))
+    sharded = att_ops.flash_decode_latent_seq_sharded(
+        q, x_k, x_v, b_k, kvl, mesh, "seq", chunk, hd, 10000.0, None
+    )
+    assert np.allclose(np.asarray(single), np.asarray(sharded), atol=2e-3), np.abs(
+        np.asarray(single) - np.asarray(sharded)).max()
