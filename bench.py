@@ -122,7 +122,7 @@ def bench_attention_module(
         vb_ = jax.lax.dynamic_update_slice(vb_, bv_, (0, 0, pos, 0))
         out = palu_flash_decode_quantized(
             q, b_k, kc, ks, kb_, vc, vs, vb_, pos + 1,
-            qcfg=qcfg, rk=rk, rv=rv, block_s=block_s // 2, interpret=interp,
+            qcfg=qcfg, rk=rk, rv=rv, block_s=block_s // 4, interpret=interp,
         )
         y = out.astype(bf).reshape(1, num_heads * rv) @ wo_fused
         return y, kc, ks, kb_, vc, vs, vb_
