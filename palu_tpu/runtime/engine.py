@@ -397,6 +397,9 @@ class Engine:
             from ..ops.pallas import palu_decode as pk
 
             block_s = min(ecfg.decode_chunk, ecfg.s_max)
+            if ecfg.qcfg is not None and ecfg.qcfg.enabled:
+                # dequant temporaries are VMEM-hungry; keep blocks small
+                block_s = max(128, block_s // 4)
 
             def kernel_call(q_, b_k_, k_bufs, v_bufs, kv_len_):
                 if ecfg.qcfg is not None and ecfg.qcfg.enabled:
