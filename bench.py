@@ -51,7 +51,6 @@ def bench_attention_module(
     from palu_tpu.ops.pallas.palu_decode import (
         palu_flash_decode,
         palu_flash_decode_quantized,
-        split_b_halves,
     )
 
     interp = jax.default_backend() != "tpu"  # CPU smoke runs use interpret mode

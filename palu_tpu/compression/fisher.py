@@ -12,7 +12,6 @@ in-device; no module surgery or hooks.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List
 
 import jax

@@ -10,8 +10,6 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
-import numpy as np
-
 from ..core.quant import QuantConfig
 from .zero_shot import loglikelihood_batch
 

@@ -15,7 +15,6 @@ qmsum, multi_news.
 from __future__ import annotations
 
 import json
-import os
 import time
 from typing import Dict, List, Optional
 

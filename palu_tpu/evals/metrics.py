@@ -12,8 +12,6 @@ import difflib
 import re
 import string
 from collections import Counter
-from typing import List
-
 __all__ = ["dataset2metric", "normalize_answer", "normalize_zh_answer"]
 
 

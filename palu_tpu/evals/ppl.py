@@ -5,8 +5,7 @@ accumulation; ppl = exp(sum(nll) / (n * seqlen)).
 
 from __future__ import annotations
 
-import os
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 import jax

@@ -26,8 +26,6 @@ identical (kernel/palu_attention.py:241-257):
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

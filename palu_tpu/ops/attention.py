@@ -18,7 +18,6 @@ the latent cache is read exactly once per step.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

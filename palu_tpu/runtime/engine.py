@@ -19,8 +19,7 @@ Reference math being reproduced: kernel/palu_attention.py:147-263.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -399,7 +398,7 @@ class Engine:
             block_s = min(ecfg.decode_chunk, ecfg.s_max)
             if ecfg.qcfg is not None and ecfg.qcfg.enabled:
                 # dequant temporaries are VMEM-hungry; keep blocks small
-                block_s = max(128, block_s // 4)
+                block_s = min(block_s, max(128, block_s // 4))
 
             def kernel_call(q_, b_k_, k_bufs, v_bufs, kv_len_):
                 if ecfg.qcfg is not None and ecfg.qcfg.enabled:

@@ -16,8 +16,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import quant as quant_mod
-from . import cache as cache_lib
 from .engine import Engine
 
 __all__ = ["seed_cache_random", "profile_tpot"]
