@@ -41,7 +41,7 @@ def bench_attention_module(
     total_rank_v=3072,
     n_steps=100,
     warmup=5,
-    block_s=512,
+    block_s=1024,
     log=print,
 ):
     import jax.numpy as jnp

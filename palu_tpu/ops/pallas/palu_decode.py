@@ -372,8 +372,16 @@ def _merged_call(kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra_in_specs,
     half = hd // 2
     nh = g * hpg
     grid = (b, s_max // block_s)
+    try:
+        # default scoped-VMEM cap is 16MB; v5e has far more physical VMEM --
+        # raising it allows larger seq blocks (fewer grid steps, better
+        # DMA/compute amortization)
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    except TypeError:  # older pallas versions
+        compiler_params = None
     out = pl.pallas_call(
         kernel,
+        compiler_params=compiler_params,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
