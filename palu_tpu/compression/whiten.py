@@ -33,9 +33,25 @@ def whiten_scale_matrices(
     params,
     cfg: ModelConfig,
     batches: List[np.ndarray],
+    model_id: str = None,
+    use_cache: bool = True,
 ) -> List[np.ndarray]:
     """Returns one Cholesky scale matrix S (hidden, hidden) per layer
-    (shared by that layer's k_proj and v_proj, which see identical inputs)."""
+    (shared by that layer's k_proj and v_proj, which see identical inputs).
+
+    Cached per model id like the reference's cache/whiten/*_fp16.pt
+    (decomposition.py:31)."""
+    import os
+
+    cache_file = None
+    if model_id and use_cache:
+        cache_dir = os.path.join(os.environ.get("PALU_CACHE_DIR", "cache"), "whiten")
+        cache_file = os.path.join(
+            cache_dir, f"{model_id.replace('/', '_')}_scaling_matrices.npz"
+        )
+        if os.path.exists(cache_file):
+            data = np.load(cache_file)
+            return [data[f"l_{i}"] for i in range(cfg.num_hidden_layers)]
 
     @jax.jit
     def embed_step(p, ids):
@@ -66,4 +82,7 @@ def whiten_scale_matrices(
             new_acts.append(out)
         acts = new_acts
         scales.append(cholesky_with_psd_repair(np.asarray(gram_total, dtype=np.float64)))
+    if cache_file:
+        os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+        np.savez(cache_file, **{f"l_{i}": s for i, s in enumerate(scales)})
     return scales

@@ -212,3 +212,26 @@ def test_compress_with_hadamard_preserves_logits():
         np.asarray(a["layers"][0]["attn"]["k_proj"]["VT"]),
         np.asarray(b["layers"][0]["attn"]["k_proj"]["VT"]),
     )
+
+
+def test_kv_info_divisibility_errors():
+    from palu_tpu.models.config import kv_info
+
+    cfg = _tiny_cfg(num_attention_heads=4, num_key_value_heads=4)
+    with pytest.raises(ValueError):
+        kv_info(cfg, 3)
+
+
+def test_load_config_rejects_unknown_model_type(tmp_path):
+    import json
+    from palu_tpu.models import hf_io
+
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps({"model_type": "gptneox",
+                                               "vocab_size": 1, "hidden_size": 1,
+                                               "intermediate_size": 1,
+                                               "num_hidden_layers": 1,
+                                               "num_attention_heads": 1}))
+    with pytest.raises(ValueError):
+        hf_io.load_config(str(d))
