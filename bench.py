@@ -212,7 +212,7 @@ def bench_attention_module(
     from palu_tpu.core.quant import packed_nbytes
 
     quant_ms = {}
-    for bits, q_block in ((4, block_s // 2), (3, block_s // 4)):
+    for bits, q_block in ((4, block_s), (3, block_s // 2)):
         log(f"# compiling palu {bits}-bit step...", file=sys.stderr)
         qcfg_b = QuantConfig(bits=bits, group_size=0)
         step_jit = make_quant_step(qcfg_b, q_block)
