@@ -199,3 +199,36 @@ def test_init_params_shapes():
     assert attn["o_proj"]["w_fused"].shape == (4 * 8, 32)
     logits = llama.forward(params, jnp.zeros((1, 4), jnp.int32), cfg)
     assert logits.shape == (1, 4, 64)
+
+
+@pytest.mark.parametrize("family,kv_heads", [("mistral", 2), ("qwen2", 4)])
+def test_compressed_checkpoint_roundtrip_other_families(tmp_path, family, kv_heads):
+    """Compress -> export -> reload -> identical logits, for the mistral and
+    qwen2 families (sliding window / attention bias paths)."""
+    import dataclasses
+
+    from palu_tpu.compression import compress_params
+
+    model_dir, _ = _tiny_hf_dir(tmp_path, family, kv_heads)
+    params, cfg = hf_io.load_params(model_dir, dtype=jnp.float32)
+    cfg = dataclasses.replace(cfg, head_group_size=2)
+    g = cfg.num_key_value_heads // 2
+    sel = {}
+    for i in range(cfg.num_hidden_layers):
+        sel[f"model.layers.{i}.self_attn.k_proj"] = [16] * g
+        sel[f"model.layers.{i}.self_attn.v_proj"] = [16] * g
+    lr_params, lr_cfg = compress_params(params, cfg, sel, "svd", head_group_size=2)
+
+    out_dir = str(tmp_path / f"palu_{family}")
+    hf_io.save_checkpoint(lr_params, lr_cfg, out_dir, "tiny", dtype=np.float32)
+    with open(os.path.join(out_dir, "config.json")) as f:
+        conf = json.load(f)
+    assert conf["model_type"] == {"mistral": "palumistral", "qwen2": "paluqwen2"}[family]
+
+    params2, cfg2 = hf_io.load_params(out_dir, dtype=jnp.float32)
+    assert cfg2.model_family == family
+    assert cfg2.sliding_window == lr_cfg.sliding_window
+    ids = jnp.asarray(np.random.default_rng(5).integers(0, cfg.vocab_size, (1, 10)))
+    a = np.asarray(llama.forward(lr_params, ids, lr_cfg))
+    b = np.asarray(llama.forward(params2, ids, cfg2))
+    assert np.allclose(a, b, atol=1e-4), np.abs(a - b).max()

@@ -62,12 +62,17 @@ assert dq < 5e-2, dq
 
 log("=== correctness OK ===")
 
-# ---- 2. microbench at reference shapes: seq 65536, rank_k 1024, rank_v 3072, gs 4 ----
+# ---- 2. microbench at reference shapes ----
+# NOTE: single-call host timing through the tunnel is unreliable
+# (block_until_ready can ack before compute; dispatch is ~ms). Authoritative
+# numbers come from bench.py's chained-scan + fetch methodology; this is a
+# smoke check only.
 def bench(f, n=30):
-    f().block_until_ready()
+    _ = np.asarray(f()[0, 0, :1])
     t0=time.time()
-    for _ in range(n): o=f()
-    o.block_until_ready()
+    for _ in range(n):
+        o = f()
+        _ = np.asarray(o[0, 0, :1])
     return (time.time()-t0)/n*1e6
 
 g2, hpg2, rk2, rv2 = 8, 4, 128, 384
