@@ -141,6 +141,27 @@ def write_at_lanes(
     return {k: jax.vmap(one)(buf[k], update[k], pos) for k in update}
 
 
+def write_at_lanes_masked(
+    buf: Dict[str, jax.Array],
+    update: Dict[str, jax.Array],
+    pos: jax.Array,  # (B,) per-lane sequence offsets (clamped by caller)
+    mask: jax.Array,  # (B,) bool: lanes where the write should take effect
+) -> Dict[str, jax.Array]:
+    """write_at_lanes that is a true no-op for masked-out lanes: the existing
+    slot content is re-written, so idle lanes (continuous batching) and full
+    lanes (pos clamped to s_max-1) are never corrupted by the unconditional
+    decode step. Costs one (G, S_new, r) read per buffer -- negligible next
+    to the attention pass."""
+
+    def one(b_buf, b_upd, p, m):
+        cur = jax.lax.dynamic_slice(b_buf, (0, p, 0), b_upd.shape)
+        return jax.lax.dynamic_update_slice(
+            b_buf, jnp.where(m, b_upd, cur), (0, p, 0)
+        )
+
+    return {k: jax.vmap(one)(buf[k], update[k], pos, mask) for k in update}
+
+
 def write_prefill(buf, latents, qcfg, dtype, pos):
     """latents (B, G, S, r) written at offset pos; returns new layer buffer.
     Pass qcfg=None for dense (uncompressed) buffers."""

@@ -73,6 +73,15 @@ class Engine:
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg
+        # The chunked decode/prefill paths read fixed-size chunks with
+        # dynamic_slice, which silently clamps at the buffer end: a chunk
+        # size that does not divide s_max would double-count shifted keys
+        # with wrong RoPE positions in the tail. Derive the largest divisor
+        # of s_max not exceeding the requested decode_chunk.
+        chunk = max(1, min(ecfg.decode_chunk, ecfg.s_max))
+        while ecfg.s_max % chunk:
+            chunk -= 1
+        self._chunk = chunk
         self.derived = self._build_derived()
         self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(1,))
         self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,))
@@ -218,7 +227,7 @@ class Engine:
         nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
         positions = offset[:, None] + jnp.arange(s)[None, :]
         cos, sin = llama.rope_cos_sin(positions, hd, cfg.rope_theta)
-        chunk = min(ecfg.decode_chunk, ecfg.s_max)
+        chunk = self._chunk
         num_chunks = ecfg.s_max // chunk
 
         new_layers = []
@@ -313,17 +322,23 @@ class Engine:
 
     # -- decode --------------------------------------------------------------
 
-    def _decode_impl(self, params, cache, token_ids):
-        """token_ids: (B, 1). One step; appends to cache at `length`."""
+    def _decode_impl(self, params, cache, token_ids, active):
+        """token_ids: (B, 1); active: (B,) bool. One step; appends to the
+        cache at `length` for active, non-full lanes. Inactive lanes (idle
+        serving lanes) and full lanes get a no-op write and a frozen length,
+        so nothing is ever corrupted on-device and no host-side capacity
+        guard (device->host sync in the hot loop) is needed."""
         cfg, ecfg = self.cfg, self.ecfg
         b = token_ids.shape[0]
         pos = cache["length"]  # (B,) per-lane lengths
+        writeable = jnp.logical_and(active, pos < ecfg.s_max)  # (B,)
+        pos_w = jnp.minimum(pos, ecfg.s_max - 1)
         x = params["embed"][token_ids].astype(ecfg.dtype)  # (B, 1, H)
         nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
         positions = pos[:, None]  # (B, 1)
         cos, sin = llama.rope_cos_sin(positions, hd, cfg.rope_theta)
 
-        kv_len = pos + 1
+        kv_len = jnp.where(writeable, pos + 1, pos)
         new_layers = []
         for i, (p_layer, entry, der) in enumerate(
             zip(params["layers"], cache["layers"], self.derived)
@@ -348,19 +363,25 @@ class Engine:
                 k_new = k_raw.reshape(b, 1, nkv, hd)
                 k_new = llama.apply_rope(k_new.astype(jnp.float32), cos, sin)
                 upd = {"lat": k_new.astype(ecfg.dtype).transpose(0, 2, 1, 3)}
-                entry["k"] = cache_lib.write_at_lanes(entry["k"], upd, pos)
+                entry["k"] = cache_lib.write_at_lanes_masked(
+                    entry["k"], upd, pos_w, writeable
+                )
             else:
                 lat = k_raw.transpose(0, 2, 1, 3)
-                entry["k"] = cache_lib.write_at_lanes(
-                    entry["k"], cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype), pos
+                entry["k"] = cache_lib.write_at_lanes_masked(
+                    entry["k"], cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype),
+                    pos_w, writeable,
                 )
             if v_dense:
                 upd = {"lat": v_raw.reshape(b, 1, nkv, hd).astype(ecfg.dtype).transpose(0, 2, 1, 3)}
-                entry["v"] = cache_lib.write_at_lanes(entry["v"], upd, pos)
+                entry["v"] = cache_lib.write_at_lanes_masked(
+                    entry["v"], upd, pos_w, writeable
+                )
             else:
                 lat = v_raw.transpose(0, 2, 1, 3)
-                entry["v"] = cache_lib.write_at_lanes(
-                    entry["v"], cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype), pos
+                entry["v"] = cache_lib.write_at_lanes_masked(
+                    entry["v"], cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype),
+                    pos_w, writeable,
                 )
 
             attn_out = self._decode_attention(q, entry, attn, der, kv_len, k_dense, v_dense)
@@ -379,8 +400,8 @@ class Engine:
     def _decode_attention(self, q, entry, attn, der, kv_len, k_dense, v_dense):
         cfg, ecfg = self.cfg, self.ecfg
         b, nh, hd = q.shape
-        chunk = min(ecfg.decode_chunk, ecfg.s_max)
-        num_chunks = (ecfg.s_max + chunk - 1) // chunk
+        chunk = self._chunk
+        num_chunks = ecfg.s_max // chunk
 
         if k_dense and v_dense:
             # dense fallback: flash decode over full KV
@@ -395,10 +416,13 @@ class Engine:
             # below until the kernel grows a bias operand)
             from ..ops.pallas import palu_decode as pk
 
-            block_s = min(ecfg.decode_chunk, ecfg.s_max)
+            block_s = self._chunk
             if ecfg.qcfg is not None and ecfg.qcfg.enabled:
                 # dequant temporaries are VMEM-hungry; keep blocks small
-                block_s = min(block_s, max(128, block_s // 4))
+                # (while remaining a divisor of s_max)
+                want = min(block_s, max(128, block_s // 4))
+                while block_s > want or ecfg.s_max % block_s:
+                    block_s -= 1
 
             def kernel_call(q_, b_k_, k_bufs, v_bufs, kv_len_):
                 if ecfg.qcfg is not None and ecfg.qcfg.enabled:
@@ -545,15 +569,17 @@ class Engine:
             cache = self.init_cache()
         return self._prefill_jit(self.params, cache, input_ids)
 
-    def decode(self, token_ids, cache):
-        # dynamic_update_slice silently clamps at the end of the buffer,
-        # which would corrupt the last cache slot -- guard on the host.
-        if int(jnp.max(cache["length"])) >= self.ecfg.s_max:
-            raise ValueError(
-                f"cache full: max length {int(jnp.max(cache['length']))} == "
-                f"s_max {self.ecfg.s_max}"
-            )
-        return self._decode_jit(self.params, cache, jnp.asarray(token_ids))
+    def decode(self, token_ids, cache, active=None):
+        """One decode step. `active` (B,) bool marks lanes that should
+        append + advance (continuous batching); defaults to all lanes.
+        Full lanes are handled on-device (no-op write, frozen length) --
+        there is no host-side capacity check, so the hot loop has no
+        device->host sync besides fetching the sampled token."""
+        if active is None:
+            active = jnp.ones((self.ecfg.batch,), jnp.bool_)
+        return self._decode_jit(
+            self.params, cache, jnp.asarray(token_ids), jnp.asarray(active)
+        )
 
     def generate(self, input_ids, max_new_tokens: int, greedy: bool = True,
                  eos_token_id: Optional[int] = None):

@@ -64,10 +64,11 @@ def profile_tpot(
     """Returns {"tpot_ms": median ms/token, "p20_ms", "p80_ms", "tokens_per_s"}."""
     cache = seed_cache_random(engine, prompt_len, seed)
     token = jnp.zeros((engine.ecfg.batch, 1), jnp.int32)
+    act = jnp.ones((engine.ecfg.batch,), jnp.bool_)
 
     # warmup + compile (uses the raw jitted step: no host sync per step)
     for _ in range(warmup):
-        logits, cache = engine._decode_jit(engine.params, cache, token)
+        logits, cache = engine._decode_jit(engine.params, cache, token, act)
     _ = np.asarray(logits[:, :, :1])  # fetch: forces completion even on
     # tunneled backends where block_until_ready acks early
 
@@ -76,7 +77,7 @@ def profile_tpot(
     with ctx:
         for _ in range(n_steps):
             t0 = time.perf_counter()
-            logits, cache = engine._decode_jit(engine.params, cache, token)
+            logits, cache = engine._decode_jit(engine.params, cache, token, act)
             _ = np.asarray(logits[:, :, :1])
             times.append((time.perf_counter() - t0) * 1e3)
     times = np.asarray(times)

@@ -34,15 +34,21 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 
 
 def _ensure_native_lib() -> Optional[str]:
+    """Build (or rebuild) the native scheduler. The .so is not shipped in
+    git; it is rebuilt on demand and whenever scheduler.cc is newer than an
+    existing binary, so source edits are never silently ignored."""
     so = os.path.join(_NATIVE_DIR, "libpalusched.so")
-    if os.path.exists(so):
+    src = os.path.join(_NATIVE_DIR, "scheduler.cc")
+    if os.path.exists(so) and (
+        not os.path.exists(src) or os.path.getmtime(so) >= os.path.getmtime(src)
+    ):
         return so
     try:
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                        capture_output=True, timeout=120)
         return so if os.path.exists(so) else None
     except Exception:
-        return None
+        return so if os.path.exists(so) else None
 
 
 class NativeScheduler:
@@ -280,9 +286,10 @@ class ServingEngine:
         if n_active == 0:
             return 0
 
-        logits, self.cache = self.engine._decode_jit(
-            self.engine.params, self.cache, jnp.asarray(self.tokens)
-        )
+        # idle lanes decode too (static shapes) but the active mask freezes
+        # their length and makes their cache writes no-ops on device
+        mask = np.asarray([a != -1 for a in active], np.bool_)
+        logits, self.cache = self.engine.decode(self.tokens, self.cache, active=mask)
         next_toks = np.asarray(jnp.argmax(logits[:, -1], axis=-1))
         for lane, rid in enumerate(active):
             if rid == -1:
