@@ -201,3 +201,106 @@ def packed_nbytes(n: int, bits: int) -> int:
     if bits == 3:
         return n // 4 + n // 8
     raise ValueError(f"unsupported pack width: {bits}")
+
+
+# ---------------------------------------------------------------------------
+# Rank-major ("transposed") packing for the fused decode kernel
+# ---------------------------------------------------------------------------
+#
+# The seq-major planar layout above packs each token's codes along the lane
+# dimension, so the in-kernel unpack runs shift/mask ops on (seq_block,
+# rank*bits/8)-lane tensors -- far below the 128-lane VPU width for per-group
+# ranks, which made the fused dequant kernel instruction-bound (docs/BENCH.md
+# round-1 analysis). This layout stores the cache rank-major, (r, S): every
+# unpack op then spans the *sequence* dimension (a full seq block wide, 1024+
+# lanes), and the bit-fields of byte row j are codes of rank indices
+# {k*r/s + j} -- chosen so that stacking the s fields along sublanes yields
+# the codes matrix (r, S_blk) in natural rank order with zero in-kernel
+# permutes. 3-bit stores three 1-bit planes (r/8 rows each, bit p of the
+# code in plane p) so all planes share the same field geometry.
+#
+# Scales are stored affine: x = scale * code + zero, zero = (q_min - base) *
+# scale, so symmetric and asymmetric quantization are one in-kernel formula
+# and the (seq,)-shaped scale/zero rows fold into the post-matmul tensors.
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def quantize_affine(x: jax.Array, cfg: QuantConfig):
+    """Per-row (group_size == 0) quantization in affine form:
+    x ~= scale * code + zero with unsigned codes in [0, 2^bits).
+    Returns (codes int8, scales (rows,), zeros (rows,)) -- sym and asym
+    collapse into one dequant formula (zero = (q_min - base) * scale)."""
+    assert cfg.enabled and cfg.group_size == 0
+    g = _group(x, 0)
+    scales, base, q_min, q_max = _scales_base(g, cfg.bits, cfg.sym, cfg.clip_ratio)
+    gf = g.astype(jnp.float32)
+    q = jnp.clip(jnp.round(gf / scales) + base, q_min, q_max)
+    codes = (q - q_min).astype(jnp.int8).reshape(x.shape)
+    zeros = (q_min - base) * scales
+    return codes, scales.squeeze(-1), zeros.squeeze(-1)
+
+
+def packed_nrows(n: int, bits: int) -> int:
+    """Byte rows of the rank-major packed layout for n codes."""
+    if bits in (1, 2, 4, 8):
+        return n * bits // 8
+    if bits == 3:
+        return 3 * (n // 8)
+    raise ValueError(f"unsupported pack width: {bits}")
+
+
+def _pack_plane_t(codes: jax.Array, bits: int) -> jax.Array:
+    """codes (..., S, n) with values < 2^bits -> (..., n*bits/8, S) bytes.
+
+    Byte row j, bit-field k holds the code of rank index k*(n/s) + j, so the
+    kernel's `(bytes >> bits*k) & mask` fields stack to natural rank order.
+    """
+    n = codes.shape[-1]
+    s = 8 // bits
+    w = n // s
+    fields = codes.reshape(codes.shape[:-1] + (s, w)).astype(jnp.uint8)
+    shifts = jnp.arange(s, dtype=jnp.uint8).reshape((s, 1))
+    packed = jnp.bitwise_or.reduce(fields << (shifts * bits), axis=-2)
+    # (..., S, w) -> (..., w, S)
+    return jnp.moveaxis(packed, -2, -1)
+
+
+def _unpack_plane_t(packed: jax.Array, bits: int, n: int) -> jax.Array:
+    """(..., n*bits/8, S) -> (..., n, S) codes in natural rank order."""
+    s = 8 // bits
+    mask = jnp.uint8(2**bits - 1)
+    parts = [(packed >> jnp.uint8(bits * k)) & mask for k in range(s)]
+    return jnp.concatenate(parts, axis=-2)
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def pack_codes_t(codes: jax.Array, bits: int) -> jax.Array:
+    """Pack unsigned codes (..., S, n) rank-major -> uint8 (..., rows, S)."""
+    codes = codes.astype(jnp.uint8)
+    if bits in (1, 2, 4):
+        return _pack_plane_t(codes, bits)
+    if bits == 3:
+        planes = [
+            _pack_plane_t((codes >> jnp.uint8(p)) & jnp.uint8(1), 1)
+            for p in range(3)
+        ]
+        return jnp.concatenate(planes, axis=-2)
+    if bits == 8:
+        return jnp.swapaxes(codes, -1, -2)
+    raise ValueError(f"unsupported pack width: {bits}")
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "n"))
+def unpack_codes_t(packed: jax.Array, bits: int, n: int) -> jax.Array:
+    """Inverse of pack_codes_t -> uint8 codes (..., n, S)."""
+    if bits in (1, 2, 4):
+        return _unpack_plane_t(packed, bits, n)
+    if bits == 3:
+        r = n // 8
+        b0 = _unpack_plane_t(packed[..., 0 * r : 1 * r, :], 1, n)
+        b1 = _unpack_plane_t(packed[..., 1 * r : 2 * r, :], 1, n)
+        b2 = _unpack_plane_t(packed[..., 2 * r : 3 * r, :], 1, n)
+        return b0 | (b1 << jnp.uint8(1)) | (b2 << jnp.uint8(2))
+    if bits == 8:
+        return packed
+    raise ValueError(f"unsupported pack width: {bits}")

@@ -28,7 +28,7 @@ class JaxLM(_LMBase):
     """lm-eval LM implementation over a palu_tpu model."""
 
     def __init__(self, params, cfg, tokenizer, qcfg: Optional[QuantConfig] = None,
-                 max_length: int = 2048):
+                 max_length: int = 2048, max_gen_toks: int = 256):
         if _HAVE_LM_EVAL:
             super().__init__()
         self.params = params
@@ -36,6 +36,8 @@ class JaxLM(_LMBase):
         self.tokenizer = tokenizer
         self.qcfg = qcfg
         self.max_length = max_length
+        self.max_gen_toks = max_gen_toks
+        self._engine = None  # built lazily for generate_until
 
     # --- lm-eval API ---
 
@@ -65,10 +67,42 @@ class JaxLM(_LMBase):
             out.append(res[0][0])
         return out
 
+    def _get_engine(self):
+        if self._engine is None:
+            from ..runtime.engine import Engine, EngineConfig
+
+            self._engine = Engine(
+                self.params, self.cfg,
+                EngineConfig(s_max=self.max_length, batch=1, qcfg=self.qcfg),
+            )
+        return self._engine
+
     def generate_until(self, requests) -> List[str]:
-        raise NotImplementedError(
-            "use palu_tpu.runtime.engine.Engine.generate for generation tasks"
-        )
+        """Greedy generation with stop strings (lm-eval generate_until API);
+        runs through the latent-cache Engine (chunked prefill keeps the
+        compile count independent of prompt length)."""
+        import numpy as np
+
+        engine = self._get_engine()
+        out = []
+        for req in requests:
+            context, gen_kwargs = req.args
+            until = list(gen_kwargs.get("until", []) or [])
+            max_new = int(gen_kwargs.get("max_gen_toks", self.max_gen_toks))
+            ctx_ids = np.asarray(self.tokenizer(context)["input_ids"]).reshape(-1)
+            # leave room for generation inside the fixed cache
+            ctx_ids = ctx_ids[-(self.max_length - max_new):]
+            toks = engine.generate(
+                ctx_ids.astype(np.int32)[None, :], max_new_tokens=max_new,
+                eos_token_id=self.tokenizer.eos_token_id,
+            )
+            text = self.tokenizer.decode(toks[0], skip_special_tokens=True)
+            for stop in until:
+                pos = text.find(stop)
+                if pos >= 0:
+                    text = text[:pos]
+            out.append(text)
+        return out
 
 
 def simple_evaluate(params, cfg, tokenizer, tasks, qcfg=None, **kw):

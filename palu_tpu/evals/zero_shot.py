@@ -31,7 +31,22 @@ DEFAULT_TASKS = [
 ]
 
 
+# jitted scorer cache: one entry per (cfg, qcfg); combined with bucketed
+# padding below, evaluating N documents compiles O(#length-buckets)
+# executables instead of one per unique sequence length (on TPU a compile
+# costs minutes -- per-length compiles made hellaswag-scale runs unusable).
+_LL_CACHE: Dict[tuple, tuple] = {}
+# distinct (bucket_len, batch) shapes fed to the jitted scorer -- a proxy
+# for XLA compile count that tests can assert on
+_LL_SHAPES: set = set()
+
+
 def _ll_fn(cfg: ModelConfig, qcfg: Optional[QuantConfig]):
+    key = (id(cfg), qcfg)
+    hit = _LL_CACHE.get(key)
+    if hit is not None and hit[0] is cfg:  # strong ref guards id() reuse
+        return hit[1]
+
     quantize_latent = None
     if qcfg is not None and qcfg.enabled:
         quantize_latent = lambda lat: quant_mod.fake_quantize(lat, qcfg)
@@ -50,28 +65,57 @@ def _ll_fn(cfg: ModelConfig, qcfg: Optional[QuantConfig]):
         exact = jnp.all(jnp.where(mask > 0, greedy, True), axis=-1)
         return ll_sum, exact
 
+    _LL_CACHE[key] = (cfg, ll)
     return ll
+
+
+def _bucket_len(n: int, minimum: int = 32) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
 
 
 def loglikelihood_batch(
     params, cfg, requests: List[Tuple[List[int], List[int]]],
     qcfg: Optional[QuantConfig] = None, pad_to: Optional[int] = None,
+    batch_size: int = 8,
 ) -> List[Tuple[float, bool]]:
     """requests: list of (context_tokens, continuation_tokens). Returns
-    (loglikelihood, is_greedy) per request (lm-eval's loglikelihood API)."""
+    (loglikelihood, is_greedy) per request (lm-eval's loglikelihood API).
+
+    Requests are right-padded to power-of-two length buckets and stacked
+    into fixed-size batches, so the jitted scorer sees O(#buckets) distinct
+    shapes across an entire task (padding is causally invisible and masked
+    out of the score).
+    """
     ll = _ll_fn(cfg, qcfg)
-    out = []
-    maxlen = pad_to or max(len(c) + len(x) for c, x in requests)
-    for ctx, cont in requests:
-        ids = np.zeros((1, maxlen), np.int32)
-        mask = np.zeros((1, maxlen), np.float32)
-        seq = (ctx + cont)[-maxlen:]
-        ids[0, : len(seq)] = seq
-        start = len(seq) - len(cont)
-        mask[0, start : len(seq)] = 1.0
-        s, e = ll(params, jnp.asarray(ids[:, : len(seq)]), jnp.asarray(mask[:, : len(seq)]))
-        out.append((float(s[0]), bool(e[0])))
-    return out
+    out: List[Optional[Tuple[float, bool]]] = [None] * len(requests)
+
+    # group request indices by bucketed length
+    buckets: Dict[int, List[int]] = {}
+    for i, (ctx, cont) in enumerate(requests):
+        n = len(ctx) + len(cont)
+        if pad_to:
+            n = min(n, pad_to)
+        buckets.setdefault(_bucket_len(n), []).append(i)
+
+    for blen, idxs in sorted(buckets.items()):
+        for start in range(0, len(idxs), batch_size):
+            group = idxs[start : start + batch_size]
+            ids = np.zeros((batch_size, blen), np.int32)
+            mask = np.zeros((batch_size, blen), np.float32)
+            for row, i in enumerate(group):
+                ctx, cont = requests[i]
+                seq = (ctx + cont)[-blen:]
+                ids[row, : len(seq)] = seq
+                mask[row, len(seq) - len(cont) : len(seq)] = 1.0
+            _LL_SHAPES.add((blen, batch_size))
+            s, e = ll(params, jnp.asarray(ids), jnp.asarray(mask))
+            s, e = np.asarray(s), np.asarray(e)
+            for row, i in enumerate(group):
+                out[i] = (float(s[row]), bool(e[row]))
+    return out  # type: ignore[return-value]
 
 
 def make_mc_requests(task: str, doc: dict, tokenizer):
@@ -116,9 +160,27 @@ def run_zero_shot(
     data_loader=None,
 ) -> Dict[str, Dict[str, float]]:
     """Built-in zero-shot harness. If the lm-eval package is available it is
-    preferred (exact protocol); otherwise uses the internal implementation
-    (length-normalized + raw accuracy)."""
+    preferred (exact protocol, reference run_lm_eval.py:15-40); otherwise
+    uses the internal implementation (length-normalized + raw accuracy).
+    `data_loader` forces the built-in path (offline fixtures in tests)."""
     tasks = tasks or DEFAULT_TASKS
+    if data_loader is None:
+        from . import lm_eval_adapter
+
+        if lm_eval_adapter._HAVE_LM_EVAL:
+            res = lm_eval_adapter.simple_evaluate(
+                params, cfg, tokenizer, tasks, qcfg=qcfg,
+                **({"limit": max_samples} if max_samples else {}),
+            )
+            out: Dict[str, Dict[str, float]] = {}
+            for task, metrics in res.get("results", {}).items():
+                out[task] = {
+                    "acc": float(metrics.get("acc,none", metrics.get("acc", 0.0))),
+                    "acc_norm": float(
+                        metrics.get("acc_norm,none", metrics.get("acc_norm", 0.0))
+                    ),
+                }
+            return out
     results: Dict[str, Dict[str, float]] = {}
     for task in tasks:
         if data_loader is not None:

@@ -141,7 +141,11 @@ class Engine:
 
     # -- prefill -------------------------------------------------------------
 
-    def _prefill_impl(self, params, cache, input_ids):
+    def _prefill_impl(self, params, cache, input_ids, last_pos):
+        """last_pos (B,): index of the last REAL token per lane; input_ids
+        may be right-padded to a length bucket (pad tokens are causally
+        invisible to real ones and their cache slots are overwritten by
+        decode, which starts at last_pos+1)."""
         cfg, ecfg = self.cfg, self.ecfg
         b, s = input_ids.shape
         x = params["embed"][input_ids].astype(ecfg.dtype)
@@ -210,8 +214,9 @@ class Engine:
 
         x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
-        logits = x[:, -1:] @ lm_head
-        new_cache = {"layers": new_layers, "length": jnp.full((b,), s, jnp.int32)}
+        x_last = jnp.take_along_axis(x, last_pos[:, None, None], axis=1)  # (B,1,H)
+        logits = x_last @ lm_head
+        new_cache = {"layers": new_layers, "length": (last_pos + 1).astype(jnp.int32)}
         return logits, new_cache
 
     # -- chunked prefill -----------------------------------------------------
@@ -293,6 +298,11 @@ class Engine:
             self._prefill_chunk_jit = jax.jit(
                 self._prefill_chunk_impl, donate_argnums=(1,)
             )
+            # last-real-token gather, jitted once (a fresh dynamic slice per
+            # distinct prompt length would recompile per length)
+            self._last_gather_jit = jax.jit(
+                lambda lg, i: jnp.take_along_axis(lg, i[:, None, None], axis=1)
+            )
         input_ids = np.asarray(input_ids)
         b, total = input_ids.shape
         if b != self.ecfg.batch:
@@ -313,8 +323,10 @@ class Engine:
             logits, cache = self._prefill_chunk_jit(
                 self.params, cache, jnp.asarray(ids), offset
             )
-            last = logits[:, real - 1 : real]
             off = end
+        last = self._last_gather_jit(
+            logits, jnp.full((b,), (total - 1) % chunk_size, jnp.int32)
+        )
         # fix length for the padded tail
         cache = dict(cache)
         cache["length"] = jnp.full((b,), total, jnp.int32)
@@ -554,7 +566,9 @@ class Engine:
 
     # -- public API ----------------------------------------------------------
 
-    def prefill(self, input_ids, cache=None):
+    def prefill(self, input_ids, cache=None, real_len=None):
+        """Full (one-shot) prefill. `real_len` (int or (B,) array) marks the
+        true prompt length when input_ids is right-padded."""
         input_ids = jnp.asarray(input_ids)
         if input_ids.shape[0] != self.ecfg.batch:
             raise ValueError(
@@ -567,7 +581,42 @@ class Engine:
             )
         if cache is None:
             cache = self.init_cache()
-        return self._prefill_jit(self.params, cache, input_ids)
+        if real_len is None:
+            real_len = input_ids.shape[1]
+        last_pos = jnp.broadcast_to(
+            jnp.asarray(real_len, jnp.int32) - 1, (input_ids.shape[0],)
+        )
+        return self._prefill_jit(self.params, cache, input_ids, last_pos)
+
+    def prefill_auto(self, input_ids, cache=None):
+        """Prefill with a compile count independent of the prompt length:
+        fixed-chunk streaming when every k/v layer is low-rank (always true
+        for Palu-compressed models), else a padded power-of-two bucket."""
+        all_lowrank = all(
+            "VT" in l["attn"]["k_proj"] and "VT" in l["attn"]["v_proj"]
+            for l in self.params["layers"]
+        )
+        if all_lowrank:
+            return self.prefill_chunked(
+                input_ids, chunk_size=self._chunk, cache=cache
+            )
+        return self.prefill_bucketed(input_ids, cache=cache)
+
+    def prefill_bucketed(self, input_ids, cache=None):
+        """Prefill with the prompt right-padded to a power-of-two bucket
+        (capped at s_max), so N different prompt lengths compile only
+        O(log s_max) executables instead of one each."""
+        input_ids = np.asarray(input_ids)
+        real = input_ids.shape[1]
+        bucket = 32
+        while bucket < real:
+            bucket *= 2
+        bucket = min(bucket, self.ecfg.s_max)
+        if bucket < real:
+            raise ValueError(f"prompt {real} exceeds s_max {self.ecfg.s_max}")
+        if bucket > real:
+            input_ids = np.pad(input_ids, ((0, 0), (0, bucket - real)))
+        return self.prefill(jnp.asarray(input_ids), cache=cache, real_len=real)
 
     def decode(self, token_ids, cache, active=None):
         """One decode step. `active` (B,) bool marks lanes that should
@@ -584,11 +633,14 @@ class Engine:
     def generate(self, input_ids, max_new_tokens: int, greedy: bool = True,
                  eos_token_id: Optional[int] = None):
         """Greedy generation loop (reference run_long_bench.py:63-81 uses HF
-        greedy generate)."""
+        greedy generate). Prefill goes through the fixed-chunk streaming path
+        when every k/v layer is low-rank, else a padded length bucket -- both
+        keep the number of compiled executables independent of how many
+        distinct prompt lengths are evaluated (run_longbench feeds thousands)."""
         input_ids = np.asarray(input_ids)
         # cap at cache capacity (the prompt occupies input length slots)
         max_new_tokens = min(max_new_tokens, self.ecfg.s_max - input_ids.shape[1])
-        logits, cache = self.prefill(input_ids)
+        logits, cache = self.prefill_auto(input_ids)
         out_tokens = []
         next_tok = np.asarray(jnp.argmax(logits[:, -1], axis=-1))[:, None]
         for _ in range(max_new_tokens):

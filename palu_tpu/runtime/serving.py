@@ -272,7 +272,7 @@ class ServingEngine:
         # admission
         for rid, lane in self.sched.admit():
             prompt = self._prompts.pop(rid)
-            logits, single_cache = self.prefill_engine.prefill(prompt)
+            logits, single_cache = self.prefill_engine.prefill_auto(prompt)
             first_tok = int(np.asarray(jnp.argmax(logits[0, -1])))
             self.cache = self._insert(self.cache, single_cache, lane=lane)
             self.tokens[lane, 0] = first_tok

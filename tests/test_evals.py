@@ -191,3 +191,73 @@ def test_lm_eval_adapter_gates_cleanly():
     if not lm_eval_adapter._HAVE_LM_EVAL:
         with pytest.raises(ImportError):
             lm_eval_adapter.simple_evaluate(params, cfg, _FakeTokenizer(), ["piqa"])
+
+
+def test_loglikelihood_batch_buckets_compile_count():
+    """Many distinct request lengths must map to O(#buckets) jitted shapes
+    (per-length recompiles are unusable on TPU where compiles cost minutes)."""
+    from palu_tpu.evals import zero_shot as zs
+
+    params, cfg = _tiny_model()
+    rng = np.random.default_rng(0)
+    reqs = []
+    for n in range(3, 40):  # 37 distinct total lengths
+        ctx = list(rng.integers(2, cfg.vocab_size, n))
+        reqs.append((ctx, [int(rng.integers(2, cfg.vocab_size))]))
+    before = set(zs._LL_SHAPES)
+    out = loglikelihood_batch(params, cfg, reqs)
+    new_shapes = set(zs._LL_SHAPES) - before
+    # lengths 4..41 -> buckets {32, 64} only
+    assert len(new_shapes) <= 2, new_shapes
+    assert len(out) == len(reqs) and all(np.isfinite(s) for s, _ in out)
+    # jitted scorer is cached per (cfg, qcfg): same fn object on re-entry
+    assert zs._ll_fn(cfg, None) is zs._ll_fn(cfg, None)
+
+
+def test_loglikelihood_batch_bucketing_matches_unpadded():
+    """Padding to a bucket + batching must not change the scores."""
+    params, cfg = _tiny_model()
+    rng = np.random.default_rng(2)
+    reqs = []
+    for n in (5, 9, 17):
+        ctx = list(rng.integers(2, cfg.vocab_size, n))
+        reqs.append((ctx, list(rng.integers(2, cfg.vocab_size, 2))))
+    batched = loglikelihood_batch(params, cfg, reqs, batch_size=8)
+    single = loglikelihood_batch(params, cfg, reqs, batch_size=1)
+    for (s1, e1), (s2, e2) in zip(batched, single):
+        assert abs(s1 - s2) < 1e-3
+        assert e1 == e2
+
+
+def test_prefill_bucketed_matches_exact():
+    """Right-padded bucket prefill must produce the same last-token logits
+    and the same decode continuation as exact-length prefill."""
+    params, cfg = _tiny_model()
+    eng = Engine(params, cfg, EngineConfig(s_max=64, dtype=jnp.float32, decode_chunk=16))
+    ids = np.random.default_rng(3).integers(2, cfg.vocab_size, (1, 11))
+    lg_exact, c_exact = eng.prefill(jnp.asarray(ids))
+    lg_bucket, c_bucket = eng.prefill_bucketed(ids)
+    np.testing.assert_allclose(
+        np.asarray(lg_exact), np.asarray(lg_bucket), rtol=1e-4, atol=1e-4
+    )
+    assert int(c_bucket["length"][0]) == 11
+    tok = np.asarray([[5]])
+    d1, _ = eng.decode(tok, c_exact)
+    d2, _ = eng.decode(tok, c_bucket)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-4)
+
+
+def test_generate_until_stops_at_string():
+    from palu_tpu.evals.lm_eval_adapter import JaxLM
+
+    params, cfg = _tiny_model()
+    tok = _FakeTokenizer()
+    lm = JaxLM(params, cfg, tok, max_length=64)
+
+    class _Req:
+        def __init__(self, args):
+            self.args = args
+
+    outs = lm.generate_until([_Req(("hello there", {"until": [" "], "max_gen_toks": 6}))])
+    assert len(outs) == 1
+    assert " " not in outs[0]
