@@ -128,12 +128,8 @@ def compress_params(
                 raise ValueError(decompose_method)
             if hadamard:
                 lr = lowrank.fuse_hadamard(lr)
-            if len(set(ranks)) != 1:
-                raise NotImplementedError(
-                    f"ragged ranks within a layer not supported: {name} {ranks}"
-                )
             attn[which] = _to_params(lr, dtype)
-        if "VT" in attn["v_proj"]:
+        if "VT" in attn["v_proj"] and not llama.is_ragged(attn["v_proj"]):
             attn["o_proj"] = dict(attn["o_proj"])
             attn["o_proj"]["w_fused"] = llama.fuse_o_proj(
                 np.asarray(attn["o_proj"]["w"], dtype=np.float32),
@@ -149,12 +145,15 @@ def compress_params(
 
 
 def _to_params(lr: lowrank.LowRankWeights, dtype):
-    p = {
-        "VT": jnp.asarray(lr.VT.T, dtype=dtype),  # (in, sum_ranks)
-        "U": jnp.asarray(
-            np.stack([u.T for u in lr.U]), dtype=dtype
-        ),  # (G, r, group_dim)
-    }
+    p = {"VT": jnp.asarray(lr.VT.T, dtype=dtype)}  # (in, sum_ranks)
+    if len(set(lr.ranks)) == 1:
+        # uniform ranks: stacked (G, r, group_dim) -- the fast runtime layout
+        p["U"] = jnp.asarray(np.stack([u.T for u in lr.U]), dtype=dtype)
+    else:
+        # ragged ranks (fisher search): per-group (r_i, group_dim) matrices
+        # (reference svd_linear.py:72-78); accuracy track consumes directly,
+        # the runtime engine pads to max rank at build
+        p["U"] = tuple(jnp.asarray(u.T, dtype=dtype) for u in lr.U)
     if lr.bias is not None:
         p["b"] = jnp.asarray(np.stack(lr.bias), dtype=dtype)
     return p

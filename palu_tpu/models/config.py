@@ -38,6 +38,9 @@ class ModelConfig:
     mlp_bias: bool = False
     tie_word_embeddings: bool = False
     sliding_window: Optional[int] = None  # mistral
+    # HF rope_scaling dict (type/rope_type, factor, ...); None = default RoPE.
+    # The reference inherits this via transformers; models/rope.py reproduces it.
+    rope_scaling: Optional[Dict] = None
     model_family: str = "llama"  # llama | mistral | qwen2
 
     # --- Palu compression metadata ---

@@ -71,6 +71,7 @@ def load_config(model_dir: str, head_group_size: int = 4) -> ModelConfig:
         mlp_bias=raw.get("mlp_bias", False),
         tie_word_embeddings=raw.get("tie_word_embeddings", False),
         sliding_window=raw.get("sliding_window") if family == "mistral" else None,
+        rope_scaling=raw.get("rope_scaling"),
         model_family=family,
         head_group_size=raw.get("head_group_size", head_group_size),
         head_wise_ranks=raw.get("head_wise_ranks"),
@@ -134,21 +135,24 @@ def load_params(
             if f"{prefix}.bias" in sd:
                 p["b"] = v(f"{prefix}.bias")
             return p
-        if len(set(ranks)) != 1:
-            raise ValueError(f"ragged ranks not supported at runtime: {ranks}")
-        rank = ranks[0]
         vt = t(f"{prefix}.VT.weight")  # (hidden, sum_ranks)
         us = [
-            np.asarray(sd[f"{prefix}.U.{g}.weight"]).T  # (rank, group_dim)
+            np.asarray(sd[f"{prefix}.U.{g}.weight"]).T  # (rank_g, group_dim)
             for g in range(len(ranks))
         ]
-        p = {"VT": vt, "U": jnp.asarray(np.stack(us), dtype=dtype)}
+        if len(set(ranks)) == 1:
+            p = {"VT": vt, "U": jnp.asarray(np.stack(us), dtype=dtype)}
+        else:
+            # ragged per-group ranks (reference fisher search output,
+            # svd_linear.py:72-78): keep per-group matrices; the accuracy
+            # track consumes them directly and the Engine pads at build
+            p = {"VT": vt, "U": tuple(jnp.asarray(u, dtype=dtype) for u in us)}
         if f"{prefix}.U.0.bias" in sd:
             p["b"] = jnp.asarray(
                 np.stack([np.asarray(sd[f"{prefix}.U.{g}.bias"]) for g in range(len(ranks))]),
                 dtype=dtype,
             )
-        assert vt.shape[1] == len(ranks) * rank
+        assert vt.shape[1] == sum(ranks), (vt.shape, ranks)
         return p
 
     layers = []
@@ -163,7 +167,11 @@ def load_params(
             "v_proj": kv_proj(i, "v_proj"),
             "o_proj": {"w": t(f"{pre}.self_attn.o_proj.weight")},
         }
-        if build_fused_o and "VT" in attn["v_proj"]:
+        if (
+            build_fused_o
+            and "VT" in attn["v_proj"]
+            and not isinstance(attn["v_proj"]["U"], (list, tuple))
+        ):  # ragged V has no stacked layout; Engine pads + fuses at build
             attn["o_proj"]["w_fused"] = fuse_o_proj(
                 np.asarray(attn["o_proj"]["w"], dtype=np.float32),
                 np.asarray(attn["v_proj"]["U"], dtype=np.float32),
@@ -234,9 +242,13 @@ def save_checkpoint(
             prefix = f"{pre}.self_attn.{which}"
             if "VT" in p:
                 put(f"{prefix}.VT.weight", p["VT"], True)
-                u = np.asarray(p["U"])  # (G, r, d)
-                for g in range(u.shape[0]):
-                    put(f"{prefix}.U.{g}.weight", u[g], True)
+                us = (
+                    list(p["U"])  # ragged: per-group (r_g, d)
+                    if isinstance(p["U"], (list, tuple))
+                    else list(np.asarray(p["U"]))  # stacked (G, r, d)
+                )
+                for g, u in enumerate(us):
+                    put(f"{prefix}.U.{g}.weight", u, True)
                     if p.get("b") is not None:
                         put(f"{prefix}.U.{g}.bias", np.asarray(p["b"])[g], False)
             else:
@@ -275,6 +287,8 @@ def save_checkpoint(
     }
     if cfg.sliding_window is not None:
         config["sliding_window"] = cfg.sliding_window
+    if cfg.rope_scaling is not None:
+        config["rope_scaling"] = cfg.rope_scaling
     if extra_config:
         config.update(extra_config)
     with open(os.path.join(save_dir, "config.json"), "w") as f:

@@ -51,16 +51,35 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 
 def rope_cos_sin(
-    positions: jax.Array, head_dim: int, theta: float, dtype=jnp.float32
+    positions: jax.Array, head_dim: int, theta: float, dtype=jnp.float32,
+    inv_freq=None, attn_scale: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """HF-Llama RoPE tables: cos/sin of shape (*positions.shape, head_dim),
-    duplicated over the two halves ([f, f] layout)."""
-    inv_freq = 1.0 / (
-        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
-    )
+    duplicated over the two halves ([f, f] layout). `inv_freq`/`attn_scale`
+    override the default theta schedule (rope_scaling; models/rope.py)."""
+    if inv_freq is None:
+        inv_freq = 1.0 / (
+            theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+        )
+    else:
+        inv_freq = jnp.asarray(inv_freq, jnp.float32)
     freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., hd/2)
     emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+    return (
+        (jnp.cos(emb) * attn_scale).astype(dtype),
+        (jnp.sin(emb) * attn_scale).astype(dtype),
+    )
+
+
+def rope_cos_sin_for(cfg: ModelConfig, positions: jax.Array, dtype=jnp.float32):
+    """Config-driven RoPE tables honoring cfg.rope_scaling."""
+    from . import rope as rope_mod
+
+    inv_freq, scale = rope_mod.inv_freq_and_scale(cfg)
+    return rope_cos_sin(
+        positions, cfg.head_dim, cfg.rope_theta, dtype=dtype,
+        inv_freq=inv_freq, attn_scale=scale,
+    )
 
 
 def rotate_half(x: jax.Array) -> jax.Array:
@@ -80,11 +99,30 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def is_ragged(proj: Params) -> bool:
+    """True when the low-rank module has non-uniform per-group ranks: U is a
+    tuple of (r_i, group_dim) matrices instead of a stacked (G, r, d) array
+    (reference svd_linear.py:72-78 holds a per-group rank list)."""
+    return "VT" in proj and isinstance(proj["U"], (list, tuple))
+
+
+def ragged_offsets(proj: Params):
+    """Per-group (offset, rank) pairs into the flat latent dimension."""
+    offs, o = [], 0
+    for u in proj["U"]:
+        offs.append((o, u.shape[0]))
+        o += u.shape[0]
+    return offs
+
+
 def project_kv(x: jax.Array, proj: Params) -> jax.Array:
-    """Dense: returns (B, S, out). Low-rank: returns latents (B, S, G, r)."""
+    """Dense: returns (B, S, out). Low-rank: returns latents (B, S, G, r)
+    for uniform ranks, or flat (B, S, sum_ranks) for ragged ranks."""
     if "VT" in proj:
         b, s, _ = x.shape
         lat = x @ proj["VT"]
+        if is_ragged(proj):
+            return lat  # (B, S, sum_ranks); slice per group at reconstruct
         g = proj["U"].shape[0]
         return lat.reshape(b, s, g, -1)
     out = x @ proj["w"]
@@ -94,12 +132,34 @@ def project_kv(x: jax.Array, proj: Params) -> jax.Array:
 
 
 def reconstruct_kv(latents: jax.Array, proj: Params) -> jax.Array:
-    """latents (B, S, G, r) -> full (B, S, G*group_dim) via per-group U."""
+    """Uniform: latents (B, S, G, r) -> (B, S, G*group_dim) via stacked U.
+    Ragged: latents (B, S, sum_ranks) -> (B, S, G*group_dim) via per-group
+    slices (reference svd_linear.py:107-121)."""
+    if is_ragged(proj):
+        outs = []
+        for gi, (o, r) in enumerate(ragged_offsets(proj)):
+            og = latents[..., o : o + r] @ proj["U"][gi]  # (B, S, d)
+            if proj.get("b") is not None:
+                og = og + proj["b"][gi]
+            outs.append(og)
+        return jnp.concatenate(outs, axis=-1)
     out = jnp.einsum("bsgr,grd->bsgd", latents, proj["U"])
     if proj.get("b") is not None:
         out = out + proj["b"]  # per-group bias (G, d), qwen2
     b, s, g, d = out.shape
     return out.reshape(b, s, g * d)
+
+
+def quantize_latent_grouped(latents: jax.Array, proj: Params, quantize_latent):
+    """Apply the fake-quant hook with per-group granularity for ragged
+    latents (B, S, sum_ranks); uniform (B, S, G, r) passes through whole."""
+    if not is_ragged(proj):
+        return quantize_latent(latents)
+    parts = [
+        quantize_latent(latents[..., o : o + r])
+        for (o, r) in ragged_offsets(proj)
+    ]
+    return jnp.concatenate(parts, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -204,22 +264,23 @@ def attn_forward(
     k_raw = project_kv(x, p["k_proj"])
     v_raw = project_kv(x, p["v_proj"])
 
-    k_lowrank = k_raw.ndim == 4
-    v_lowrank = v_raw.ndim == 4
+    k_lowrank = "VT" in p["k_proj"]
+    v_lowrank = "VT" in p["v_proj"]
     if quantize_latent is not None:
         if k_lowrank:
-            k_raw = quantize_latent(k_raw)
+            k_raw = quantize_latent_grouped(k_raw, p["k_proj"], quantize_latent)
         if v_lowrank:
-            v_raw = quantize_latent(v_raw)
+            v_raw = quantize_latent_grouped(v_raw, p["v_proj"], quantize_latent)
 
     k = reconstruct_kv(k_raw, p["k_proj"]) if k_lowrank else k_raw
     k = k.reshape(b, s, nkv, hd)
 
-    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, dtype=jnp.float32)
+    cos, sin = rope_cos_sin_for(cfg, positions, dtype=jnp.float32)
     qr = apply_rope(q.astype(jnp.float32), cos, sin).astype(x.dtype)
     kr = apply_rope(k.astype(jnp.float32), cos, sin).astype(x.dtype)
 
-    if value_mode == "fused" and v_lowrank:
+    # ragged-V has no stacked latent layout for the fused path; reconstruct
+    if value_mode == "fused" and v_lowrank and not is_ragged(p["v_proj"]):
         out = attention_core(qr, kr, v_raw, cfg, mask, v_is_latent=True)
         o_w = p["o_proj"]["w_fused"]
     else:
@@ -337,6 +398,63 @@ def init_params(
         "final_norm": jnp.ones((h,), dtype),
         "lm_head": None if cfg.tie_word_embeddings else dense(next(keys), (h, cfg.vocab_size)),
     }
+
+
+def pad_ragged_params(params: Params, cfg: ModelConfig):
+    """Zero-pad ragged per-group ranks up to each layer's max rank, giving
+    the uniform stacked layout the runtime kernels require (VERDICT: the
+    reference's accuracy track runs ragged; its kernel track also requires
+    uniform ranks, kernel/palu_attention.py:111). Padding is exact for the
+    bf16 cache (zero latent dims project/reconstruct to zero); with a
+    quantized cache the padded zeros participate in per-row min/max scales,
+    a small extra approximation. Returns (params, cfg) unchanged when no
+    layer is ragged."""
+    import dataclasses
+
+    changed = False
+    new_ranks = dict(cfg.head_wise_ranks or {})
+    new_layers = []
+    for i, layer in enumerate(params["layers"]):
+        attn = dict(layer["attn"])
+        layer_changed = False
+        for which in ("k_proj", "v_proj"):
+            p = attn[which]
+            if not is_ragged(p):
+                continue
+            changed = layer_changed = True
+            name = f"model.layers.{i}.self_attn.{which}"
+            us = [np.asarray(u, np.float32) for u in p["U"]]
+            g = len(us)
+            gd = us[0].shape[1]
+            rmax = max(u.shape[0] for u in us)
+            vt_old = np.asarray(p["VT"], np.float32)
+            vt = np.zeros((vt_old.shape[0], g * rmax), np.float32)
+            u_new = np.zeros((g, rmax, gd), np.float32)
+            o = 0
+            for gi, u in enumerate(us):
+                r = u.shape[0]
+                vt[:, gi * rmax : gi * rmax + r] = vt_old[:, o : o + r]
+                u_new[gi, :r] = u
+                o += r
+            dt = p["VT"].dtype
+            newp = {"VT": jnp.asarray(vt, dt), "U": jnp.asarray(u_new, dt)}
+            if p.get("b") is not None:
+                newp["b"] = p["b"]
+            attn[which] = newp
+            new_ranks[name] = [rmax] * g
+        if layer_changed and "VT" in attn["v_proj"]:
+            o_w = np.asarray(attn["o_proj"]["w"], np.float32)
+            attn["o_proj"] = dict(attn["o_proj"])
+            attn["o_proj"]["w_fused"] = fuse_o_proj(
+                o_w, np.asarray(attn["v_proj"]["U"], np.float32), cfg
+            ).astype(attn["v_proj"]["VT"].dtype)
+        new_layers.append({**layer, "attn": attn})
+    if not changed:
+        return params, cfg
+    return (
+        {**params, "layers": new_layers},
+        dataclasses.replace(cfg, head_wise_ranks=new_ranks),
+    )
 
 
 def fuse_o_proj(o_w: np.ndarray, u_v: np.ndarray, cfg: ModelConfig) -> jnp.ndarray:

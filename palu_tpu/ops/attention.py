@@ -114,6 +114,8 @@ def flash_decode_latent(
     k_bias: Optional[jax.Array] = None,  # (G, hpg, hd) reconstruction bias
     pos_offset: jax.Array | int = 0,  # absolute position of chunk 0 (seq sharding)
     return_stats: bool = False,
+    inv_freq=None,  # (hd/2,) rope_scaling override (models/rope.py)
+    rope_scale: float = 1.0,  # attention scaling (yarn)
 ) -> jax.Array:
     """Fused latent decode attention -> (B, nh, rv) latent-space output.
 
@@ -126,9 +128,12 @@ def flash_decode_latent(
     g, hpg = b_k.shape[0], b_k.shape[1]
     q_g = q.reshape(b, g, hpg, hd)
 
-    inv_freq = 1.0 / (
-        rope_theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
-    )
+    if inv_freq is None:
+        inv_freq = 1.0 / (
+            rope_theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+        )
+    else:
+        inv_freq = jnp.asarray(inv_freq, jnp.float32)
 
     def body(carry, idx):
         m, l, acc = carry
@@ -145,7 +150,7 @@ def flash_decode_latent(
         pos = pos_offset + idx * chunk + jnp.arange(chunk)
         freqs = pos[:, None].astype(jnp.float32) * inv_freq  # (C, hd/2)
         emb = jnp.concatenate([freqs, freqs], axis=-1)
-        cos, sin = jnp.cos(emb), jnp.sin(emb)
+        cos, sin = jnp.cos(emb) * rope_scale, jnp.sin(emb) * rope_scale
         half = hd // 2
         krot = jnp.concatenate([-kblk[..., half:], kblk[..., :half]], axis=-1)
         kblk = kblk * cos + krot * sin
@@ -196,6 +201,8 @@ def flash_prefill_latent(
     rv: int,
     sliding_window: Optional[int] = None,
     k_bias: Optional[jax.Array] = None,  # (G, hpg, hd)
+    inv_freq=None,
+    rope_scale: float = 1.0,
 ) -> jax.Array:
     """Chunked-prefill attention over the latent cache -> (B, Cq, nh, rv).
 
@@ -208,9 +215,12 @@ def flash_prefill_latent(
     g, hpg = b_k.shape[0], b_k.shape[1]
     q_g = q.reshape(b, cq, g, hpg, hd).transpose(0, 2, 3, 1, 4)  # (B,G,hpg,Cq,hd)
 
-    inv_freq = 1.0 / (
-        rope_theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
-    )
+    if inv_freq is None:
+        inv_freq = 1.0 / (
+            rope_theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+        )
+    else:
+        inv_freq = jnp.asarray(inv_freq, jnp.float32)
 
     def body(carry, idx):
         m, l, acc = carry
@@ -225,7 +235,7 @@ def flash_prefill_latent(
         pos = idx * chunk + jnp.arange(chunk)  # (C,) cache positions
         freqs = pos[:, None].astype(jnp.float32) * inv_freq
         emb = jnp.concatenate([freqs, freqs], axis=-1)
-        cos, sin = jnp.cos(emb), jnp.sin(emb)
+        cos, sin = jnp.cos(emb) * rope_scale, jnp.sin(emb) * rope_scale
         half = hd // 2
         krot = jnp.concatenate([-kblk[..., half:], kblk[..., :half]], axis=-1)
         kblk = kblk * cos + krot * sin
@@ -270,6 +280,8 @@ def flash_decode_latent_seq_sharded(
     head_dim: int,
     rope_theta: float,
     sliding_window: Optional[int] = None,
+    inv_freq=None,
+    rope_scale: float = 1.0,
 ) -> jax.Array:
     """Sequence-parallel fused decode: the latent cache is sharded along the
     sequence dim over `axis`; each shard computes partial flash stats
@@ -305,6 +317,8 @@ def flash_decode_latent_seq_sharded(
             sliding_window,
             pos_offset=offset,
             return_stats=True,
+            inv_freq=inv_freq,
+            rope_scale=rope_scale,
         )
         m_g = jax.lax.pmax(m, axis)
         scale_ = jnp.exp(m - m_g)

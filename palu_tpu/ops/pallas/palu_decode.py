@@ -81,19 +81,30 @@ def _q_blockdiag(q: jax.Array, g: int, hpg: int, half: int) -> tuple:
     )
 
 
-def _rope_tables(pos_start, block, half, theta, hpg):
-    """cos/sin (block, hpg*half): per-position tables tiled across heads."""
-    exponent = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, half), 1).astype(jnp.float32)
-        * (2.0 / (2 * half))
-    )
-    inv_freq = 1.0 / jnp.power(jnp.float32(theta), exponent)  # (1, half)
+def _rope_tables(pos_start, block, half, theta, hpg, inv_freq_row=None,
+                 rope_scale: float = 1.0):
+    """cos/sin (block, hpg*half): per-position tables tiled across heads.
+
+    inv_freq_row: optional (1, half) array (read from a kernel input ref)
+    overriding the theta schedule (rope_scaling), with rope_scale
+    multiplying the tables (yarn attention scaling)."""
+    if inv_freq_row is not None:
+        inv_freq = inv_freq_row.astype(jnp.float32).reshape(1, half)
+    else:
+        exponent = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, half), 1).astype(jnp.float32)
+            * (2.0 / (2 * half))
+        )
+        inv_freq = 1.0 / jnp.power(jnp.float32(theta), exponent)  # (1, half)
     pos = (
         jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0).astype(jnp.float32)
         + pos_start.astype(jnp.float32)
     )
     freqs = pos * inv_freq  # (block, half)
     cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+    if rope_scale != 1.0:
+        cos = cos * rope_scale
+        sin = sin * rope_scale
     if hpg > 1:
         cos = jnp.concatenate([cos] * hpg, axis=1)
         sin = jnp.concatenate([sin] * hpg, axis=1)
@@ -133,8 +144,15 @@ def _make_decode_kernel(
     rv: int,
     compute_dtype=jnp.bfloat16,
     head_major_acc: bool = True,
+    inv_freq_static=None,
+    rope_scale: float = 1.0,
 ):
     quantized = qcfg is not None and qcfg.enabled
+    if inv_freq_static is not None:
+        raise NotImplementedError(
+            "v1 kernel does not take scaled-rope tables; use palu_decode2 "
+            "or the XLA decode path"
+        )
     cdt = compute_dtype
 
     def kernel(*refs):
@@ -159,7 +177,8 @@ def _make_decode_kernel(
 
         half = hd // 2
         pos_start = sblk * block_s
-        cos, sin = _rope_tables(jnp.int32(pos_start), block_s, half, theta, hpg)
+        cos, sin = _rope_tables(jnp.int32(pos_start), block_s, half, theta, hpg,
+                                None, rope_scale)
 
         pos = jax.lax.broadcasted_iota(jnp.int32, (block_s, 1), 0) + pos_start
         valid = pos < kv_len  # (BS, 1)
@@ -253,6 +272,8 @@ def _make_decode_kernel_merged(
     rk: int,
     rv: int,
     compute_dtype=jnp.bfloat16,
+    inv_freq_static=None,
+    rope_scale: float = 1.0,
 ):
     """All head groups in one grid step (grid = (B, S/BS)).
 
@@ -263,6 +284,11 @@ def _make_decode_kernel_merged(
     DMA grows to G blocks, which is what actually keeps the HBM pipe busy.
     """
     quantized = qcfg is not None and qcfg.enabled
+    if inv_freq_static is not None:
+        raise NotImplementedError(
+            "v1 kernel does not take scaled-rope tables; use palu_decode2 "
+            "or the XLA decode path"
+        )
     cdt = compute_dtype
     nh = g * hpg
 
@@ -288,7 +314,8 @@ def _make_decode_kernel_merged(
 
         half = hd // 2
         pos_start = sblk * block_s
-        cos, sin = _rope_tables(jnp.int32(pos_start), block_s, half, theta, hpg)
+        cos, sin = _rope_tables(jnp.int32(pos_start), block_s, half, theta, hpg,
+                                None, rope_scale)
         cos = cos.astype(jnp.float32)
         sin = sin.astype(jnp.float32)
 
@@ -459,7 +486,8 @@ def _common_call(kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra_in_specs,
 @functools.partial(
     jax.jit,
     static_argnames=("block_s", "theta", "sliding_window", "interpret",
-                     "compute_dtype", "head_major_acc", "impl"),
+                     "compute_dtype", "head_major_acc", "impl",
+                     "inv_freq_static", "rope_scale"),
 )
 def palu_flash_decode(
     q: jax.Array,  # (B, nh, hd) roped at the current position
@@ -475,6 +503,8 @@ def palu_flash_decode(
     compute_dtype=jnp.bfloat16,
     head_major_acc: bool = True,
     impl: str = "merged",
+    inv_freq_static=None,  # tuple of hd/2 floats (rope_scaling)
+    rope_scale: float = 1.0,
 ) -> jax.Array:
     """Fused decode attention -> (B, nh, rv) latent-space output (feed into
     the U_v-fused o_proj)."""
@@ -491,7 +521,8 @@ def palu_flash_decode(
         kernel = _make_decode_kernel_merged(
             block_s=block_s, theta=theta, hd=hd, g=g, hpg=hpg,
             sliding_window=sliding_window, qcfg=None, rk=rk, rv=rv,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, inv_freq_static=inv_freq_static,
+            rope_scale=rope_scale,
         )
         extra = [
             pl.BlockSpec((None, g, block_s, rk), lambda bi, si, *_: (bi, 0, si, 0)),
@@ -506,6 +537,7 @@ def palu_flash_decode(
         block_s=block_s, theta=theta, hd=hd, hpg=hpg,
         sliding_window=sliding_window, qcfg=None, rk=rk, rv=rv,
         compute_dtype=compute_dtype, head_major_acc=head_major_acc,
+        inv_freq_static=inv_freq_static, rope_scale=rope_scale,
     )
     extra = [
         pl.BlockSpec((None, None, block_s, rk), lambda bi, gi, si, *_: (bi, gi, si, 0)),
@@ -521,7 +553,8 @@ def palu_flash_decode(
 @functools.partial(
     jax.jit,
     static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window",
-                     "interpret", "compute_dtype", "head_major_acc", "impl"),
+                     "interpret", "compute_dtype", "head_major_acc", "impl",
+                     "inv_freq_static", "rope_scale"),
 )
 def palu_flash_decode_quantized(
     q: jax.Array,  # (B, nh, hd)
@@ -544,6 +577,8 @@ def palu_flash_decode_quantized(
     compute_dtype=jnp.bfloat16,
     head_major_acc: bool = True,
     impl: str = "merged",
+    inv_freq_static=None,
+    rope_scale: float = 1.0,
 ) -> jax.Array:
     """Decode attention with dequantization of the packed latent cache fused
     into the streaming pass. Requires per-row scales (qcfg.group_size == 0)."""
@@ -565,7 +600,8 @@ def palu_flash_decode_quantized(
         kernel = _make_decode_kernel_merged(
             block_s=block_s, theta=theta, hd=hd, g=g, hpg=hpg,
             sliding_window=sliding_window, qcfg=qcfg, rk=rk, rv=rv,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, inv_freq_static=inv_freq_static,
+            rope_scale=rope_scale,
         )
 
         def mblk(last):
@@ -583,6 +619,7 @@ def palu_flash_decode_quantized(
         block_s=block_s, theta=theta, hd=hd, hpg=hpg,
         sliding_window=sliding_window, qcfg=qcfg, rk=rk, rv=rv,
         compute_dtype=compute_dtype, head_major_acc=head_major_acc,
+        inv_freq_static=inv_freq_static, rope_scale=rope_scale,
     )
 
     def blk(last):

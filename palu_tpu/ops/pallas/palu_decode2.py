@@ -96,13 +96,18 @@ def _make_kernel2(
     rk: int,
     rv: int,
     compute_dtype=jnp.bfloat16,
+    inv_freq_static=None,
+    rope_scale: float = 1.0,
 ):
     quantized = qcfg is not None and qcfg.enabled
+    scaled_rope = inv_freq_static is not None
     cdt = compute_dtype
     nh = g * hpg
     half = hd // 2
 
     def kernel(*refs):
+        refs = list(refs)
+        inv_freq_ref = refs.pop(5) if scaled_rope else None
         if quantized:
             (kv_len_ref, q1_ref, q2_ref, b1_ref, b2_ref,
              xk_codes, xk_scale, xk_zero,
@@ -123,7 +128,9 @@ def _make_kernel2(
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
         pos_start = sblk * block_s
-        cos, sin = _rope_tables(jnp.int32(pos_start), block_s, half, theta, hpg)
+        inv_row = inv_freq_ref[0:1, :] if scaled_rope else None
+        cos, sin = _rope_tables(jnp.int32(pos_start), block_s, half, theta, hpg,
+                                inv_row, rope_scale)
         cos = cos.astype(jnp.float32)  # (BS, W)
         sin = sin.astype(jnp.float32)
 
@@ -228,10 +235,17 @@ def _make_kernel2(
 
 
 def _call2(kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra_in_specs,
-           interpret, inputs):
+           interpret, inputs, inv_freq_static=None):
     half = hd // 2
     nh = g * hpg
     grid = (b, s_max // block_s)
+    inv_specs, inv_inputs = [], ()
+    if inv_freq_static is not None:
+        inv_specs = [pl.BlockSpec((1, half), lambda bi, si, *_: (0, 0))]
+        inv_inputs = (jnp.asarray(inv_freq_static, jnp.float32).reshape(1, half),)
+    # splice the optional inv_freq right after the 4 q/B inputs (the kernel
+    # pops ref index 5: kv_len prefetch + q1 q2 b1 b2 then inv_freq)
+    inputs = inputs[:5] + inv_inputs + inputs[5:]
     try:
         compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     except TypeError:  # older pallas versions
@@ -252,6 +266,7 @@ def _call2(kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra_in_specs,
                 pl.BlockSpec((g, rk, hpg * half), lambda bi, si, *_: (0, 0, 0)),
                 pl.BlockSpec((g, rk, hpg * half), lambda bi, si, *_: (0, 0, 0)),
             ]
+            + inv_specs
             + extra_in_specs,
             out_specs=pl.BlockSpec(
                 (None, g, rv, hpg), lambda bi, si, *_: (bi, 0, 0, 0)
@@ -270,7 +285,7 @@ def _call2(kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra_in_specs,
 @functools.partial(
     jax.jit,
     static_argnames=("block_s", "theta", "sliding_window", "interpret",
-                     "compute_dtype"),
+                     "compute_dtype", "inv_freq_static", "rope_scale"),
 )
 def palu_flash_decode2(
     q: jax.Array,  # (B, nh, hd) roped at the current position
@@ -284,6 +299,8 @@ def palu_flash_decode2(
     sliding_window: Optional[int] = None,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
+    inv_freq_static=None,
+    rope_scale: float = 1.0,
 ) -> jax.Array:
     """Fused decode attention -> (B, nh, rv) latent-space output."""
     b, nh, hd = q.shape
@@ -299,7 +316,8 @@ def palu_flash_decode2(
     kernel = _make_kernel2(
         block_s=block_s, theta=theta, hd=hd, g=g, hpg=hpg,
         sliding_window=sliding_window, qcfg=None, rk=rk, rv=rv,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, inv_freq_static=inv_freq_static,
+        rope_scale=rope_scale,
     )
     extra = [
         pl.BlockSpec((None, g, block_s, rk), lambda bi, si, *_: (bi, 0, si, 0)),
@@ -307,7 +325,7 @@ def palu_flash_decode2(
     ]
     out = _call2(
         kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra, interpret,
-        (kvl, q1, q2, b1, b2, x_k, x_v_t),
+        (kvl, q1, q2, b1, b2, x_k, x_v_t), inv_freq_static=inv_freq_static,
     )
     # (B, G, rv, hpg) -> (B, nh, rv)
     return out.transpose(0, 1, 3, 2).reshape(b, g * hpg, rv)
@@ -316,7 +334,8 @@ def palu_flash_decode2(
 @functools.partial(
     jax.jit,
     static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window",
-                     "interpret", "compute_dtype"),
+                     "interpret", "compute_dtype", "inv_freq_static",
+                     "rope_scale"),
 )
 def palu_flash_decode2_quantized(
     q: jax.Array,  # (B, nh, hd)
@@ -337,6 +356,8 @@ def palu_flash_decode2_quantized(
     sliding_window: Optional[int] = None,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
+    inv_freq_static=None,
+    rope_scale: float = 1.0,
 ) -> jax.Array:
     """Decode attention with wide-lane fused dequant of the rank-major
     packed latent cache (per-row affine scales; qcfg.group_size == 0)."""
@@ -356,7 +377,8 @@ def palu_flash_decode2_quantized(
     kernel = _make_kernel2(
         block_s=block_s, theta=theta, hd=hd, g=g, hpg=hpg,
         sliding_window=sliding_window, qcfg=qcfg, rk=rk, rv=rv,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, inv_freq_static=inv_freq_static,
+        rope_scale=rope_scale,
     )
 
     def rows_blk(nrows):
@@ -372,6 +394,6 @@ def palu_flash_decode2_quantized(
     out = _call2(
         kernel, b, g, hpg, hd, rk, rv, s_max, block_s, extra, interpret,
         (kvl, q1, q2, b1, b2, xk_codes, xk_scale, xk_zero,
-         xv_codes, xv_scale, xv_zero),
+         xv_codes, xv_scale, xv_zero), inv_freq_static=inv_freq_static,
     )
     return out.transpose(0, 1, 3, 2).reshape(b, g * hpg, rv)

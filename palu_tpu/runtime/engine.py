@@ -70,6 +70,9 @@ class Engine:
     params plus derived decode weights and jitted step functions."""
 
     def __init__(self, params, cfg: ModelConfig, ecfg: EngineConfig):
+        # ragged (fisher-search) checkpoints: pad per-group ranks up to the
+        # layer max so the static-shape cache/kernels see uniform ranks
+        params, cfg = llama.pad_ragged_params(params, cfg)
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg
@@ -82,6 +85,19 @@ class Engine:
         while ecfg.s_max % chunk:
             chunk -= 1
         self._chunk = chunk
+        # rope_scaling (models/rope.py): default schedule -> None (kernels
+        # compute in-kernel from theta); scaled -> baked-in constants
+        from ..models import rope as rope_mod
+
+        inv_freq, rope_scale = rope_mod.inv_freq_and_scale(cfg)
+        if cfg.rope_scaling:
+            self._inv_freq = inv_freq
+            self._inv_freq_static = tuple(float(x) for x in inv_freq)
+            self._rope_scale = float(rope_scale)
+        else:
+            self._inv_freq = None
+            self._inv_freq_static = None
+            self._rope_scale = 1.0
         self.derived = self._build_derived()
         self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(1,))
         self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,))
@@ -150,7 +166,7 @@ class Engine:
         b, s = input_ids.shape
         x = params["embed"][input_ids].astype(ecfg.dtype)
         positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
-        cos, sin = llama.rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        cos, sin = llama.rope_cos_sin_for(cfg, positions)
         nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
         new_layers = []
@@ -231,7 +247,7 @@ class Engine:
         x = params["embed"][ids_chunk].astype(ecfg.dtype)
         nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
         positions = offset[:, None] + jnp.arange(s)[None, :]
-        cos, sin = llama.rope_cos_sin(positions, hd, cfg.rope_theta)
+        cos, sin = llama.rope_cos_sin_for(cfg, positions)
         chunk = self._chunk
         num_chunks = ecfg.s_max // chunk
 
@@ -274,6 +290,7 @@ class Engine:
                 q, read("k", rk), read("v", rv), der["b_k"],
                 num_chunks, chunk, offset, hd, cfg.rope_theta, rv,
                 cfg.sliding_window, k_bias=der.get("k_bias"),
+                inv_freq=self._inv_freq, rope_scale=self._rope_scale,
             )  # (B, s, nh, rv)
             attn_out = lat_out.astype(ecfg.dtype).reshape(b, s, nh * rv)
             delta = attn_out @ attn["o_proj"]["w_fused"]
@@ -348,7 +365,7 @@ class Engine:
         x = params["embed"][token_ids].astype(ecfg.dtype)  # (B, 1, H)
         nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
         positions = pos[:, None]  # (B, 1)
-        cos, sin = llama.rope_cos_sin(positions, hd, cfg.rope_theta)
+        cos, sin = llama.rope_cos_sin_for(cfg, positions)
 
         kv_len = jnp.where(writeable, pos + 1, pos)
         new_layers = []
@@ -423,9 +440,10 @@ class Engine:
         rk = attn["k_proj"]["U"].shape[1]
         rv = attn["v_proj"]["U"].shape[1]
 
-        if ecfg.use_pallas and "k_bias" not in der:
-            # (models with k-projection bias -- qwen2 -- use the XLA path
-            # below until the kernel grows a bias operand)
+        if ecfg.use_pallas and "k_bias" not in der and self._inv_freq_static is None:
+            # (models with k-projection bias -- qwen2 -- and scaled-rope
+            # models use the XLA path below; the v2 kernel handles scaled
+            # rope and will replace this dispatch)
             from ..ops.pallas import palu_decode as pk
 
             block_s = self._chunk
@@ -446,12 +464,16 @@ class Engine:
                         qcfg=ecfg.qcfg, rk=rk, rv=rv, block_s=block_s,
                         theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
                         interpret=ecfg.pallas_interpret,
+                        inv_freq_static=self._inv_freq_static,
+                        rope_scale=self._rope_scale,
                     )
                 return pk.palu_flash_decode(
                     q_, b_k_, k_bufs["lat"], v_bufs["lat"], kv_len_,
                     block_s=block_s, theta=cfg.rope_theta,
                     sliding_window=cfg.sliding_window,
                     interpret=ecfg.pallas_interpret,
+                    inv_freq_static=self._inv_freq_static,
+                    rope_scale=self._rope_scale,
                 )
 
             if ecfg.mesh is not None:
@@ -516,6 +538,8 @@ class Engine:
             rv,
             cfg.sliding_window,
             k_bias=der.get("k_bias"),
+            inv_freq=self._inv_freq,
+            rope_scale=self._rope_scale,
         )  # (B, nh, rv)
         lat_out = lat_out.astype(ecfg.dtype).reshape(b, nh * rv)
         out = lat_out @ attn["o_proj"]["w_fused"]

@@ -232,3 +232,95 @@ def test_compressed_checkpoint_roundtrip_other_families(tmp_path, family, kv_hea
     a = np.asarray(llama.forward(lr_params, ids, lr_cfg))
     b = np.asarray(llama.forward(params2, ids, cfg2))
     assert np.allclose(a, b, atol=1e-4), np.abs(a - b).max()
+
+
+# ---------------------------------------------------------------------------
+# rope_scaling (linear / llama3 / yarn) -- HF transformers parity
+# ---------------------------------------------------------------------------
+
+
+def _scaled_hf_dir(tmp_path, rope_scaling):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False, rope_scaling=rope_scaling,
+    )
+    model = LlamaForCausalLM(cfg).eval().float()
+    d = tmp_path / f"hf_scaled_{rope_scaling['rope_type']}"
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+@pytest.mark.parametrize("rope_scaling", [
+    {"rope_type": "linear", "factor": 2.0},
+    {"rope_type": "llama3", "factor": 4.0, "low_freq_factor": 1.0,
+     "high_freq_factor": 4.0, "original_max_position_embeddings": 64},
+    {"rope_type": "yarn", "factor": 2.0,
+     "original_max_position_embeddings": 64},
+])
+def test_forward_matches_transformers_rope_scaling(tmp_path, rope_scaling):
+    """Scaled-RoPE checkpoints (Llama-3.1-style llama3, linear, yarn) must
+    load with the scaling applied and match transformers' logits; round 1
+    silently dropped rope_scaling entirely."""
+    import torch
+
+    model_dir, torch_model = _scaled_hf_dir(tmp_path, rope_scaling)
+    params, cfg = hf_io.load_params(model_dir, dtype=jnp.float32)
+    assert cfg.rope_scaling is not None
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, cfg.vocab_size, size=(1, 96))  # > orig_max posns
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(ids)).logits.numpy()
+    ours = np.asarray(llama.forward(params, jnp.asarray(ids), cfg))
+    assert np.allclose(ours, ref, atol=3e-3), np.abs(ours - ref).max()
+
+
+def test_rope_scaling_config_roundtrip(tmp_path):
+    from palu_tpu.models import rope as rope_mod
+
+    rs = {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+          "high_freq_factor": 4.0, "original_max_position_embeddings": 8192}
+    model_dir, _ = _scaled_hf_dir(tmp_path, dict(rs, factor=8.0))
+    params, cfg = hf_io.load_params(model_dir, dtype=jnp.float32)
+    out = tmp_path / "resaved"
+    hf_io.save_checkpoint(params, cfg, str(out), dtype=np.float32)
+    cfg2 = hf_io.load_config(str(out))
+    assert cfg2.rope_scaling == cfg.rope_scaling
+    f1, s1 = rope_mod.inv_freq_and_scale(cfg)
+    f2, s2 = rope_mod.inv_freq_and_scale(cfg2)
+    np.testing.assert_allclose(f1, f2)
+    assert s1 == s2
+
+
+def test_engine_rope_scaling_matches_forward(tmp_path):
+    """Engine decode (XLA latent path) agrees with the no-cache forward for
+    a scaled-rope model, so the cache/decode rope plumbing is consistent."""
+    from palu_tpu.runtime.engine import Engine, EngineConfig
+    from palu_tpu.compression import compress_params
+
+    rs = {"rope_type": "linear", "factor": 2.0}
+    model_dir, _ = _scaled_hf_dir(tmp_path, rs)
+    params, cfg = hf_io.load_params(model_dir, dtype=jnp.float32)
+    sel = {}
+    for i in range(cfg.num_hidden_layers):
+        sel[f"model.layers.{i}.self_attn.k_proj"] = [16, 16]
+        sel[f"model.layers.{i}.self_attn.v_proj"] = [16, 16]
+    cp, cc = compress_params(params, cfg, sel, decompose_method="svd",
+                             head_group_size=2)
+    assert cc.rope_scaling == rs
+    ids = np.arange(12)[None, :] % cc.vocab_size
+    ref = np.asarray(llama.forward(cp, jnp.asarray(ids), cc))
+    eng = Engine(cp, cc, EngineConfig(s_max=32, dtype=jnp.float32, decode_chunk=8))
+    logits, cache = eng.prefill(jnp.asarray(ids[:, :6]))
+    np.testing.assert_allclose(np.asarray(logits[0, -1]), ref[0, 5],
+                               rtol=2e-3, atol=2e-3)
+    for t in range(6, 12):
+        logits, cache = eng.decode(ids[:, t:t+1], cache)
+        np.testing.assert_allclose(np.asarray(logits[0, -1]), ref[0, t],
+                                   rtol=2e-3, atol=2e-3)

@@ -121,3 +121,32 @@ def test_v2_matches_v1_bf16():
                            compute_dtype=jnp.float32)
     )
     assert np.allclose(v1, v2, atol=2e-3, rtol=1e-3), np.abs(v1 - v2).max()
+
+
+def test_v2_rope_scaling_static():
+    """Kernel with baked-in scaled inv_freq == XLA reference with the same
+    tables (rope_scaling plumbing into the fused kernel)."""
+    from palu_tpu.models import rope as rope_mod
+    from palu_tpu.models.config import ModelConfig
+
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=200)
+    cfg = ModelConfig(rope_scaling={"rope_type": "linear", "factor": 2.0},
+                      num_attention_heads=8, num_key_value_heads=8,
+                      hidden_size=1024)
+    inv_freq, scale = rope_mod.inv_freq_and_scale(cfg)
+    ref = np.asarray(att_ops.flash_decode_latent(
+        q,
+        lambda i: jax.lax.dynamic_slice_in_dim(x_k, i * 64, 64, axis=2),
+        lambda i: jax.lax.dynamic_slice_in_dim(x_v, i * 64, 64, axis=2),
+        b_k, x_k.shape[2] // 64, 64, kvl, q.shape[-1], 10000.0,
+        x_v.shape[-1], None, inv_freq=inv_freq, rope_scale=scale,
+    ))
+    out = np.asarray(
+        palu_flash_decode2(
+            q, b_k, x_k, jnp.swapaxes(x_v, 2, 3), kvl, block_s=64,
+            interpret=True, compute_dtype=jnp.float32,
+            inv_freq_static=tuple(float(f) for f in inv_freq),
+            rope_scale=float(scale),
+        )
+    )
+    assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()

@@ -1,0 +1,109 @@
+"""A/B the v1 vs v2 fused decode kernels on the real chip at the headline
+operating point (32 heads, hd 128, rank_k 1024, rank_v 3072, gs 4, 64K).
+
+Usage: python tools/tpu_ab_v2.py [variants...]
+  variants: v1 v2 v1q3 v2q3 v1q4 v2q4 v2q2 (default: v1 v2 v2q3 v2q4)
+
+Direct-call timing with host fetch (tpu_ab3.py methodology): per-call
+dispatch adds ~1ms constant overhead through the tunnel, fine for relative
+comparison; final numbers come from bench.py's chained scan.
+"""
+import sys, os, time, functools
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import numpy as np
+import jax, jax.numpy as jnp
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from palu_tpu.core import quant as qm
+from palu_tpu.core.quant import QuantConfig
+from palu_tpu.ops.pallas.palu_decode import palu_flash_decode, palu_flash_decode_quantized
+from palu_tpu.ops.pallas.palu_decode2 import palu_flash_decode2, palu_flash_decode2_quantized
+
+seq = int(os.environ.get("SEQ", 65536))
+block_s = int(os.environ.get("BS", 1024))
+g, hpg, rk, rv, hd = 8, 4, 128, 384, 128
+nh = g * hpg
+
+key = jax.random.PRNGKey(0)
+ks = jax.random.split(key, 4)
+q0 = jax.random.normal(ks[0], (1, nh, hd), jnp.bfloat16)
+b_k = jax.random.normal(ks[1], (g, hpg, rk, hd), jnp.bfloat16) * 0.1
+x_k = jax.random.normal(ks[2], (1, g, seq, rk), jnp.bfloat16)
+x_v = jax.random.normal(ks[3], (1, g, seq, rv), jnp.bfloat16)
+kvl = jnp.full((1,), seq, jnp.int32)
+
+variants = sys.argv[1:] or ["v1", "v2", "v2q3", "v2q4"]
+bump = jax.jit(lambda a: a * jnp.bfloat16(1.0001))
+
+sol_bf16 = g * seq * (rk + rv) * 2 / 819e9 * 1e6
+
+
+def quant_args_v1(bits):
+    qc = QuantConfig(bits=bits, group_size=0)
+    kc, kss, kb = qm.quantize(x_k, qc)
+    vc, vss, vb = qm.quantize(x_v, qc)
+    return qc, (qm.pack_codes(kc, bits), kss, kb, qm.pack_codes(vc, bits), vss, vb)
+
+
+def quant_args_v2(bits):
+    qc = QuantConfig(bits=bits, group_size=0)
+    kc, kss, kz = qm.quantize_affine(x_k, qc)
+    vc, vss, vz = qm.quantize_affine(x_v, qc)
+    return qc, (qm.pack_codes_t(kc, bits), kss[..., 0], kz[..., 0],
+                qm.pack_codes_t(vc, bits), vss[..., 0], vz[..., 0])
+
+
+def make_fn(variant):
+    if variant == "v1":
+        fn = jax.jit(functools.partial(palu_flash_decode, block_s=block_s))
+        args = (b_k, x_k, x_v, kvl)
+        sol = sol_bf16
+    elif variant == "v2":
+        fn = jax.jit(functools.partial(palu_flash_decode2, block_s=block_s))
+        args = (b_k, x_k, jnp.swapaxes(x_v, 2, 3), kvl)
+        sol = sol_bf16
+    elif variant.startswith("v1q"):
+        bits = int(variant[3:])
+        qc, qargs = quant_args_v1(bits)
+        fn = jax.jit(functools.partial(
+            palu_flash_decode_quantized, qcfg=qc, rk=rk, rv=rv,
+            block_s=block_s))
+        args = (b_k,) + qargs + (kvl,)
+        sol = sol_bf16 * (bits / 16 + 0.02)
+    elif variant.startswith("v2q"):
+        bits = int(variant[3:])
+        qc, qargs = quant_args_v2(bits)
+        fn = jax.jit(functools.partial(
+            palu_flash_decode2_quantized, qcfg=qc, rk=rk, rv=rv,
+            block_s=block_s))
+        args = (b_k,) + qargs + (kvl,)
+        sol = sol_bf16 * (bits / 16 + 0.02)
+    else:
+        raise SystemExit(f"unknown variant {variant}")
+    return fn, args, sol
+
+
+print(f"devices: {jax.devices()}  seq={seq} block_s={block_s} "
+      f"bf16-SoL={sol_bf16:.0f}us", flush=True)
+for variant in variants:
+    fn, args, sol = make_fn(variant)
+    t0 = time.time()
+    out = fn(q0, *args)
+    _ = np.asarray(out[0, 0, :1])
+    compile_s = time.time() - t0
+    # async-dispatch N executions, one fetch (amortizes ~30ms tunnel RTT)
+    reps = []
+    for _ in range(3):
+        NCH = 32
+        t0 = time.perf_counter()
+        for i in range(NCH):
+            out = fn(q0, *args)
+        _ = np.asarray(out[0, 0, :1])
+        reps.append((time.perf_counter() - t0) / NCH)
+    us = min(reps) * 1e6
+    print(f"{variant:5s}: {us:7.0f} us ({100*sol/us:3.0f}% SoL~{sol:.0f}us), "
+          f"compile {compile_s:.0f}s", flush=True)

@@ -14,7 +14,7 @@ Variants timed (each a standalone copy of the merged kernel body):
 
 Usage: python tools/tpu_dissect.py [seq] [block_s]
 """
-import sys, os, time
+import sys, os, time, functools
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import numpy as np
 import jax, jax.numpy as jnp
@@ -55,9 +55,16 @@ def make_kernel(mode):
         pos = jax.lax.broadcasted_iota(jnp.int32, (block_s, 1), 0) + pos_start
         valid = pos < kv_len
 
+        if mode == "noop":
+            acc_scr[0:1, 0:1] = acc_scr[0:1, 0:1] + 1.0
+
+            @pl.when(sblk == nblk - 1)
+            def _fin0():
+                out_ref[...] = jnp.broadcast_to(acc_scr[0:1, 0:1], out_ref.shape).astype(out_ref.dtype)
+            return
         if mode == "dmaonly":
-            s = jnp.sum(xk_ref[...].astype(jnp.float32)) + jnp.sum(xv_ref[...].astype(jnp.float32))
-            acc_scr[0, 0] += s
+            s = jnp.sum(xk_ref[...].astype(jnp.float32), axis=0, keepdims=True)[:, 0:1]                 + jnp.sum(xv_ref[...].astype(jnp.float32), axis=0, keepdims=True)[:, 0:1]
+            acc_scr[0:1, 0:1] = acc_scr[0:1, 0:1] + jnp.sum(s, axis=1, keepdims=True)
 
             @pl.when(sblk == nblk - 1)
             def _fin():
@@ -157,19 +164,32 @@ sol_us = bytes_read / 819e9 * 1e6
 print(f"seq={seq} block_s={block_s} read={bytes_read/1e6:.0f}MB SoL={sol_us:.0f}us")
 
 bump = jax.jit(lambda a: a * jnp.bfloat16(1.0001))
-for mode in ["full", "novalue", "nologits", "dmaonly"]:
-    fn = jax.jit(lambda q1_, q2_: call(mode, q1_, q2_, b1, b2, x_k, x_v, kvl))
+# dispatch floor: tiny op through the same async-dispatch loop
+tiny = jnp.ones((8, 128), jnp.bfloat16)
+_ = np.asarray(bump(tiny)[0, :1])
+for _r in range(2):
+    t0 = time.perf_counter()
+    for _i in range(32):
+        tiny = bump(tiny)
+    _ = np.asarray(tiny[0, :1])
+    print(f"dispatch floor: {(time.perf_counter()-t0)/32*1e6:.0f} us/call", flush=True)
+for mode in (sys.argv[3].split(",") if len(sys.argv) > 3 else ["full", "novalue", "nologits", "dmaonly", "noop"]):
+    # arrays must be jit ARGUMENTS: closure-captured buffers become HLO
+    # constants and make the compile pathological
+    fn = jax.jit(functools.partial(call, mode))
     t0 = time.time()
-    out = fn(q1, q2)
+    out = fn(q1, q2, b1, b2, x_k, x_v, kvl)
     _ = np.asarray(out[0, 0, :1])  # fetch forces real completion on axon
     compile_s = time.time() - t0
-    ts = []
-    qq1, qq2 = q1, q2
-    for i in range(25):
-        qq1 = bump(qq1); _ = np.asarray(qq1[0, 0, :1, 0])
+    # async-dispatch N executions, fetch once: amortizes the ~30ms tunnel
+    # round-trip that drowns per-call timing (device serializes execution)
+    reps = []
+    for _ in range(3):
+        NCH = 32
         t0 = time.perf_counter()
-        out = fn(qq1, qq2)
+        for i in range(NCH):
+            out = fn(q1, q2, b1, b2, x_k, x_v, kvl)
         _ = np.asarray(out[0, 0, :1])
-        ts.append(time.perf_counter() - t0)
-    per_call = np.median(ts) * 1e6
+        reps.append((time.perf_counter() - t0) / NCH)
+    per_call = min(reps) * 1e6
     print(f"{mode:9s}: {per_call:7.0f} us/call ({100*sol_us/per_call:3.0f}% SoL), compile {compile_s:.0f}s", flush=True)
