@@ -44,6 +44,10 @@ class EngineConfig:
     use_pallas: bool = False  # fused Pallas decode kernel (TPU)
     pallas_interpret: bool = False  # interpret mode (CPU tests)
     mesh: Any = None  # jax.sharding.Mesh for shard_map'd kernels (TP decode)
+    # name of a mesh axis sharding the latent cache along the sequence dim;
+    # decode then runs the flash-decoding seq-parallel combine
+    # (attention.flash_decode_latent_seq_sharded). bf16 cache only.
+    seq_axis: Optional[str] = None
 
 
 def build_decode_b(u_k: np.ndarray, cfg: ModelConfig) -> jnp.ndarray:
@@ -439,6 +443,32 @@ class Engine:
 
         rk = attn["k_proj"]["U"].shape[1]
         rv = attn["v_proj"]["U"].shape[1]
+
+        quantized = ecfg.qcfg is not None and ecfg.qcfg.enabled
+        if (
+            ecfg.seq_axis is not None
+            and ecfg.mesh is not None
+            and not quantized
+            and "k_bias" not in der
+        ):
+            # sequence-parallel decode: each seq shard computes partial flash
+            # stats over its cache slice, combined via pmax/psum
+            n_shards = ecfg.mesh.shape[ecfg.seq_axis]
+            s_local = ecfg.s_max // n_shards
+            chunk_s = min(chunk, s_local)
+            while s_local % chunk_s:
+                chunk_s -= 1
+            lat_out = att_ops.flash_decode_latent_seq_sharded(
+                q, entry["k"]["lat"], entry["v"]["lat"], der["b_k"], kv_len,
+                ecfg.mesh, ecfg.seq_axis, chunk_s, hd, cfg.rope_theta,
+                cfg.sliding_window, inv_freq=self._inv_freq,
+                rope_scale=self._rope_scale,
+            )
+            lat_out = lat_out.astype(ecfg.dtype).reshape(b, nh * rv)
+            out = lat_out @ attn["o_proj"]["w_fused"]
+            if "o_bias_corr" in der:
+                out = out + der["o_bias_corr"]
+            return out
 
         if ecfg.use_pallas and "k_bias" not in der and self._inv_freq_static is None:
             # (models with k-projection bias -- qwen2 -- and scaled-rope

@@ -223,17 +223,51 @@ def load_scheduler(num_lanes: int, s_max: int, prefer_native: bool = True):
 
 
 class ServingEngine:
-    """Continuous batching over a lane-batched Engine."""
+    """Continuous batching over a lane-batched Engine.
+
+    With `ecfg.mesh` set, the engine runs sharded: params tensor-parallel
+    over the `model` axis, the lane-batched latent cache over
+    (data, model), and the decode step dispatches through the shard_map'd
+    Pallas kernel when `ecfg.use_pallas`. Each host admits requests only
+    into the lanes whose data-axis shard it owns
+    (multihost.host_local_batch_slice), so continuous-batching traffic rides
+    the data axis; lockstep multi-host stepping drives the same jitted
+    program on every process.
+    """
 
     def __init__(self, params, cfg, ecfg: EngineConfig, prefer_native: bool = True):
         assert ecfg.batch >= 1
         self.engine = Engine(params, cfg, ecfg)
-        # batch-1 engine sharing params, for per-request prefill
+        if ecfg.mesh is not None:
+            from ..parallel import mesh as mesh_lib
+
+            self.engine.params = mesh_lib.shard_tree(
+                self.engine.params,
+                mesh_lib.param_shardings(self.engine.params, ecfg.mesh),
+            )
+        # batch-1 engine sharing (possibly sharded) params, for per-request
+        # prefill; its own decode path is unused so it takes no mesh
         self.prefill_engine = Engine(
-            params, cfg, dataclasses.replace(ecfg, batch=1)
+            self.engine.params, self.engine.cfg,
+            dataclasses.replace(ecfg, batch=1, mesh=None),
         )
-        self.sched = load_scheduler(ecfg.batch, ecfg.s_max, prefer_native)
+        if ecfg.mesh is not None:
+            from ..parallel import multihost
+
+            self.local_lanes = multihost.host_local_batch_slice(
+                ecfg.batch, ecfg.mesh
+            )
+        else:
+            self.local_lanes = slice(0, ecfg.batch)
+        n_local = self.local_lanes.stop - self.local_lanes.start
+        self.sched = load_scheduler(n_local, ecfg.s_max, prefer_native)
         self.cache = self.engine.init_cache()
+        if ecfg.mesh is not None:
+            from ..parallel import mesh as mesh_lib
+
+            self.cache = mesh_lib.shard_tree(
+                self.cache, mesh_lib.cache_shardings(self.cache, ecfg.mesh)
+            )
         self.tokens = np.zeros((ecfg.batch, 1), np.int32)  # next input per lane
         self.outputs: Dict[int, List[int]] = {}
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,),
@@ -268,14 +302,16 @@ class ServingEngine:
 
     def step(self) -> int:
         """Admit + prefill new requests, run one decode step for all lanes.
-        Returns the number of active lanes stepped."""
+        Returns the number of active (host-local) lanes stepped. Scheduler
+        lanes are host-local; global lane = local + local_lanes.start."""
+        base = self.local_lanes.start
         # admission
         for rid, lane in self.sched.admit():
             prompt = self._prompts.pop(rid)
             logits, single_cache = self.prefill_engine.prefill_auto(prompt)
             first_tok = int(np.asarray(jnp.argmax(logits[0, -1])))
-            self.cache = self._insert(self.cache, single_cache, lane=lane)
-            self.tokens[lane, 0] = first_tok
+            self.cache = self._insert(self.cache, single_cache, lane=base + lane)
+            self.tokens[base + lane, 0] = first_tok
             self.outputs[rid].append(first_tok)
             done = self.sched.on_token(lane, self._is_eos(first_tok))
             if done:
@@ -288,15 +324,16 @@ class ServingEngine:
 
         # idle lanes decode too (static shapes) but the active mask freezes
         # their length and makes their cache writes no-ops on device
-        mask = np.asarray([a != -1 for a in active], np.bool_)
+        mask = np.zeros((self.engine.ecfg.batch,), np.bool_)
+        mask[base : base + len(active)] = [a != -1 for a in active]
         logits, self.cache = self.engine.decode(self.tokens, self.cache, active=mask)
         next_toks = np.asarray(jnp.argmax(logits[:, -1], axis=-1))
         for lane, rid in enumerate(active):
             if rid == -1:
                 continue
-            tok = int(next_toks[lane])
+            tok = int(next_toks[base + lane])
             self.outputs[rid].append(tok)
-            self.tokens[lane, 0] = tok
+            self.tokens[base + lane, 0] = tok
             self.sched.on_token(lane, self._is_eos(tok))
         return n_active
 
