@@ -202,9 +202,39 @@ def _paley_II(q: int) -> np.ndarray:
 
 # Orders the reference supports via hardcoded tables (hadamard_utils.py:5-83)
 # and how we construct each. 92/156/172 have no Paley construction; they are
-# Williamson-type orders. We synthesize them from first-principles searches is
-# overkill -- no supported model hits them (ranks are multiples of 32 and the
-# smallest n needing K in {92,156,172} is 736). We raise for them.
+# Williamson-type orders: H = [[A,B,C,D],[-B,A,-D,C],[-C,D,A,-B],[-D,-C,B,A]]
+# from symmetric +-1 circulants with A^2+B^2+C^2+D^2 = 4t I. For t=23 (order
+# 92) the quadruple below was found by our own meet-in-the-middle eigenvalue
+# search over symmetric sequences (rowsum classes {1,1,3,9}/{3,3,5,7}) and is
+# verified by the H H^T = n I assert at build. Orders 156/172 (t=39/43) need
+# historically computer-searched quadruples; get_hadK substitutes a seeded
+# orthogonal factor with Hadamard-like scaling for them (an equally valid
+# quantization rotation -- exactly orthogonal, same K I Gram -- just not a
+# +-1 matrix; documented divergence from the reference's tables).
+_WILLIAMSON_ROWS = {
+    23: (
+        (1, -1, -1, -1, 1, 1, -1, 1, -1, 1, 1, 1, 1, 1, 1, -1, 1, -1, 1, 1, -1, -1, -1),
+        (1, -1, -1, 1, 1, -1, 1, 1, 1, 1, -1, -1, -1, -1, 1, 1, 1, 1, -1, 1, 1, -1, -1),
+        (-1, 1, 1, 1, 1, 1, -1, -1, -1, 1, 1, -1, -1, 1, 1, -1, -1, -1, 1, 1, 1, 1, 1),
+        (1, 1, 1, -1, 1, -1, 1, -1, 1, 1, -1, 1, 1, -1, 1, 1, -1, 1, -1, 1, -1, 1, 1),
+    ),
+}
+
+
+def _williamson(t: int) -> np.ndarray:
+    """Hadamard matrix of order 4t from a Williamson quadruple of order t."""
+    rows = _WILLIAMSON_ROWS[t]
+
+    def circ(row):
+        r = np.asarray(row, dtype=np.int8)
+        return np.stack([np.roll(r, k) for k in range(t)])
+
+    A, B, C, D = map(circ, rows)
+    return np.block(
+        [[A, B, C, D], [-B, A, -D, C], [-C, D, A, -B], [-D, -C, B, A]]
+    ).astype(np.int8)
+
+
 _PALEY_RECIPES = {
     12: ("I", 11),
     20: ("I", 19),
@@ -238,11 +268,17 @@ def hadamard_matrix(n: int) -> np.ndarray:
     if n % 2 == 0 and is_pow2(n):
         H = hadamard_matrix(n // 2)
         return np.block([[H, H], [H, -H]]).astype(np.int8)
+    if n % 4 == 0 and n // 4 in _WILLIAMSON_ROWS:
+        H = _williamson(n // 4)
+        Hl = H.astype(np.int64)
+        assert (Hl @ Hl.T == n * np.eye(n, dtype=np.int64)).all(), n
+        return H
     recipe = _PALEY_RECIPES.get(n)
     if recipe is None:
         raise NotImplementedError(
             f"No Hadamard construction for order {n}; supported orders are "
-            f"powers of two and {sorted(_PALEY_RECIPES)} (Paley I/II)."
+            f"powers of two, 4t for t in {sorted(_WILLIAMSON_ROWS)} "
+            f"(Williamson), and {sorted(_PALEY_RECIPES)} (Paley I/II)."
         )
     kind, arg = recipe
     if kind == "I":
@@ -266,11 +302,10 @@ def get_hadK(n: int):
     """
     for K in _K_PRIORITY:
         if n % K == 0 and is_pow2(n // K):
-            if K in (92, 156, 172):
-                raise NotImplementedError(
-                    f"Hadamard order {K} (needed for n={n}) is a Williamson-type "
-                    "order without a Paley construction; unsupported."
-                )
+            if K in (156, 172):
+                # no constructive route; orthogonal substitute with the same
+                # K I Gram (columns scaled to sqrt(K) like a +-1 Hadamard)
+                return _orthogonal_k(K), K
             return hadamard_matrix(K).astype(np.float32), K
     if is_pow2(n):
         return None, 1
@@ -330,6 +365,15 @@ def apply_hadamard(x: jax.Array, transpose: bool = False) -> jax.Array:
         hk = jnp.asarray(hadK.T if transpose else hadK, dtype=jnp.float32)
         out = jnp.einsum("...km,jk->...jm", xs, hk).reshape(x.shape)
     return (out / math.sqrt(n)).astype(dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _orthogonal_k(k: int, seed: int = 0) -> np.ndarray:
+    """Seeded orthogonal KxK factor scaled so Q Q^T = K I (drop-in for a
+    Hadamard K-factor in apply_hadamard's normalization)."""
+    rng = np.random.default_rng(seed + k)
+    q, _ = np.linalg.qr(rng.standard_normal((k, k)))
+    return (q * np.sqrt(k)).astype(np.float32)
 
 
 def random_sign_diagonal(n: int, seed: int = 0) -> np.ndarray:

@@ -23,7 +23,7 @@ import numpy as np
 from .scorer import scorer
 
 __all__ = ["DATASET2PROMPT", "DATASET2MAXLEN", "DEFAULT_DATASETS", "run_longbench",
-           "build_prompt", "truncate_middle"]
+           "build_prompt", "build_chat", "post_process", "truncate_middle"]
 
 DEFAULT_DATASETS = [
     "triviaqa", "qasper", "trec", "samsum", "lcc", "repobench-p", "qmsum",
@@ -64,23 +64,62 @@ def truncate_middle(tokens: np.ndarray, max_len: int) -> np.ndarray:
     return np.concatenate([tokens[..., :half], tokens[..., n - half :]], axis=-1)
 
 
+def build_chat(tokenizer, prompt: str, model_name: str) -> str:
+    """Per-model-family chat formatting (reference run_long_bench.py:29-45,
+    itself adapted from KIVI/LongBench pred.py). Families without a custom
+    template fall through to tokenizer.apply_chat_template when available."""
+    name = (model_name or "").lower()
+    if "longchat" in name or "vicuna" in name:
+        # fastchat vicuna_v1.1 conversation template, inlined (the reference
+        # imports fastchat.get_conversation_template)
+        system = (
+            "A chat between a curious user and an artificial intelligence "
+            "assistant. The assistant gives helpful, detailed, and polite "
+            "answers to the user's questions."
+        )
+        return f"{system} USER: {prompt} ASSISTANT:"
+    if "llama2" in name or "llama-2" in name:
+        return f"[INST]{prompt}[/INST]"
+    if "xgen" in name:
+        header = (
+            "A chat between a curious human and an artificial intelligence "
+            "assistant. The assistant gives helpful, detailed, and polite "
+            "answers to the human's questions.\n\n"
+        )
+        return header + f" ### Human: {prompt}\n###"
+    if "internlm" in name:
+        return f"<|User|>:{prompt}<eoh>\n<|Bot|>:"
+    if hasattr(tokenizer, "apply_chat_template") and getattr(
+        tokenizer, "chat_template", None
+    ):
+        return tokenizer.apply_chat_template(
+            [{"role": "user", "content": prompt}],
+            tokenize=False,
+            add_generation_prompt=True,
+        )
+    return prompt
+
+
+def post_process(response: str, model_name: str) -> str:
+    """Family-specific response cleanup (reference run_long_bench.py:19-26)."""
+    name = (model_name or "").lower()
+    if "xgen" in name:
+        return response.strip().replace("Assistant:", "")
+    if "internlm" in name:
+        return response.split("<eoa>")[0]
+    return response
+
+
 def build_prompt(dataset: str, sample: dict, tokenizer, max_len: int,
-                 chat_template: bool = False) -> np.ndarray:
+                 chat_template: bool = False, model_name: str = "") -> np.ndarray:
     """Format + tokenize + middle-truncate one LongBench sample -> (1, S)."""
     prompt = DATASET2PROMPT[dataset].format(**sample)
     ids = np.asarray(tokenizer(prompt, return_tensors="np")["input_ids"])
     ids = truncate_middle(ids, max_len)
-    if chat_template and dataset not in NO_CHAT_TEMPLATE and hasattr(
-        tokenizer, "apply_chat_template"
-    ):
+    if chat_template and dataset not in NO_CHAT_TEMPLATE:
         text = tokenizer.decode(ids[0], skip_special_tokens=True)
-        ids = np.asarray(
-            tokenizer.apply_chat_template(
-                [{"role": "user", "content": text}],
-                add_generation_prompt=True,
-                return_tensors="np",
-            )
-        )
+        chat = build_chat(tokenizer, text, model_name)
+        ids = np.asarray(tokenizer(chat, return_tensors="np")["input_ids"])
     return ids
 
 
@@ -92,6 +131,7 @@ def run_longbench(
     out_path: Optional[str] = None,
     max_samples: Optional[int] = None,
     chat_template: bool = False,
+    model_name: str = "",
     data_loader=None,
 ) -> Dict[str, float]:
     """Run the LongBench suite with the latent-cache engine.
@@ -113,13 +153,16 @@ def run_longbench(
             data = data[:max_samples]
         preds, answers, classes = [], [], None
         for sample in data:
-            ids = build_prompt(name, sample, tokenizer, max_prompt_len, chat_template)
+            ids = build_prompt(name, sample, tokenizer, max_prompt_len,
+                               chat_template, model_name)
             max_gen = DATASET2MAXLEN.get(name, 64)
             toks = engine.generate(
                 ids, max_new_tokens=max_gen,
                 eos_token_id=getattr(tokenizer, "eos_token_id", None),
             )
-            pred = tokenizer.decode(toks[0], skip_special_tokens=True)
+            pred = post_process(
+                tokenizer.decode(toks[0], skip_special_tokens=True), model_name
+            )
             preds.append(pred)
             answers.append(sample["answers"])
             classes = sample.get("all_classes")

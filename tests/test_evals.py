@@ -261,3 +261,33 @@ def test_generate_until_stops_at_string():
     outs = lm.generate_until([_Req(("hello there", {"until": [" "], "max_gen_toks": 6}))])
     assert len(outs) == 1
     assert " " not in outs[0]
+
+
+def test_build_chat_families():
+    from palu_tpu.evals.longbench import build_chat, post_process
+
+    tok = _FakeTokenizer()
+    assert build_chat(tok, "hi", "llama-2-7b-chat") == "[INST]hi[/INST]"
+    v = build_chat(tok, "hi", "vicuna-13b")
+    assert v.startswith("A chat between") and v.endswith("ASSISTANT:")
+    x = build_chat(tok, "hi", "xgen-7b")
+    assert "### Human: hi" in x
+    assert build_chat(tok, "hi", "internlm-7b").startswith("<|User|>:hi")
+    # no template and no chat_template attr -> passthrough
+    assert build_chat(tok, "hi", "plainmodel") == "hi"
+    assert post_process("foo<eoa>bar", "internlm") == "foo"
+    assert post_process(" Assistant: yes", "xgen-7b") == " yes"
+
+
+def test_hadamard_williamson_and_fallback_orders():
+    from palu_tpu.core import hadamard as hm
+
+    H = hm.hadamard_matrix(92)  # Williamson construction, exact
+    assert (H.astype(np.int64) @ H.astype(np.int64).T == 92 * np.eye(92)).all()
+    for n in (736, 1248, 1376):  # select K = 92 / 156 / 172
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((2, n)), jnp.float32)
+        y = hm.apply_hadamard(x)
+        back = hm.apply_hadamard(y, transpose=True)
+        assert float(jnp.abs(back - x).max()) < 1e-5
+        # orthonormal: norms preserved
+        assert abs(float(jnp.linalg.norm(y) / jnp.linalg.norm(x)) - 1.0) < 1e-5

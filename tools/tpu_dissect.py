@@ -63,8 +63,8 @@ def make_kernel(mode):
                 out_ref[...] = jnp.broadcast_to(acc_scr[0:1, 0:1], out_ref.shape).astype(out_ref.dtype)
             return
         if mode == "dmaonly":
-            s = jnp.sum(xk_ref[...].astype(jnp.float32), axis=0, keepdims=True)[:, 0:1]                 + jnp.sum(xv_ref[...].astype(jnp.float32), axis=0, keepdims=True)[:, 0:1]
-            acc_scr[0:1, 0:1] = acc_scr[0:1, 0:1] + jnp.sum(s, axis=1, keepdims=True)
+            s = jnp.sum(xk_ref[...].astype(jnp.float32)) + jnp.sum(xv_ref[...].astype(jnp.float32))
+            acc_scr[0:1, 0:1] = acc_scr[0:1, 0:1] + s
 
             @pl.when(sblk == nblk - 1)
             def _fin():
