@@ -60,23 +60,20 @@ __all__ = ["palu_flash_decode2", "palu_flash_decode2_quantized"]
 
 def _unpack_rank_major(codes_ref, bits: int, rank: int, cdt):
     """uint8 block (rows, BS) -> bf16 codes (rank, BS) in natural rank
-    order. All shift/mask ops are (rows, BS) -- full VPU lane width."""
-    c = codes_ref[...]
+    order. All shift/mask ops are (rows, BS) -- full VPU lane width.
+    Arithmetic runs in int32 (Mosaic has no uint8->bf16 cast)."""
+    c = codes_ref[...].astype(jnp.int32)
     if bits in (2, 4):
         s = 8 // bits
-        mask = jnp.uint8(2**bits - 1)
-        parts = [((c >> jnp.uint8(bits * k)) & mask) for k in range(s)]
+        mask = 2**bits - 1
+        parts = [((c >> (bits * k)) & mask) for k in range(s)]
         return jnp.concatenate(parts, axis=0).astype(cdt)
     if bits == 3:
         r = rank // 8
         b0, b1, b2 = c[0 * r : 1 * r], c[1 * r : 2 * r], c[2 * r : 3 * r]
         parts = []
-        one = jnp.uint8(1)
         for k in range(8):
-            k8 = jnp.uint8(k)
-            f = ((b0 >> k8) & one) | (((b1 >> k8) & one) << one) | (
-                ((b2 >> k8) & one) << jnp.uint8(2)
-            )
+            f = ((b0 >> k) & 1) | (((b1 >> k) & 1) << 1) | (((b2 >> k) & 1) << 2)
             parts.append(f)
         return jnp.concatenate(parts, axis=0).astype(cdt)
     if bits == 8:

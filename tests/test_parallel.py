@@ -204,3 +204,43 @@ def test_engine_seq_sharded_decode_matches_single():
     d_s, _ = e_seq.decode(np.asarray([[3], [5]]), c_s)
     np.testing.assert_allclose(np.asarray(d_r), np.asarray(d_s),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_pipeline_parallel_forward_matches_single():
+    """GPipe-style layer-stage pipelining (shard_map + ppermute) over 4
+    stages x 2 microbatches matches the single-device forward."""
+    from palu_tpu.parallel import pipeline as pp
+    from palu_tpu.models import llama as _ll
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    params = _ll.init_params(cfg, jax.random.key(7))
+    ids = np.random.default_rng(7).integers(0, 64, (2, 1, 10))  # (M, B, S)
+
+    ref = np.stack([
+        np.asarray(_ll.forward(params, jnp.asarray(ids[i]), cfg))
+        for i in range(2)
+    ])
+
+    s = ids.shape[-1]
+    positions = jnp.arange(s)[None, :]
+    mask = _ll._causal_mask(s, s, jnp.float32, None)
+
+    def layer_fn(h, layer_p):
+        return _ll.decoder_layer(h, layer_p, cfg, positions, mask)
+
+    def pre_fn(other, x_ids):
+        return other["embed"][x_ids]
+
+    def post_fn(other, h):
+        h = _ll.rms_norm(h, other["final_norm"], cfg.rms_norm_eps)
+        lm = other["lm_head"] if other.get("lm_head") is not None else other["embed"].T
+        return h @ lm
+
+    mesh = pp.make_stage_mesh(4)
+    fn = pp.stage_sharded_forward(params, 4, mesh, layer_fn, pre_fn, post_fn)
+    out = np.asarray(fn(jnp.asarray(ids)))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)

@@ -1,0 +1,276 @@
+"""Full-model decode throughput on one chip: tokens/s for a 7B-class
+Palu-compressed decoder at long context (BASELINE metric: "decode
+tokens/s/chip at 7B"), vs the dense-KV baseline at the longest context that
+fits.
+
+Random weights (the reference's latency track also runs on random weights,
+run_latency_attention.py:40-55), stacked per-layer and scanned, so the HLO
+contains ONE decode-layer body regardless of depth; 7B widths (hidden 4096,
+32 q heads, inter 11008, rank_k 1024, rank_v 3072, gs 4). Depth defaults to
+24 layers: at 32 layers the bf16 weights (14.5 GB) plus a 64K 3-bit latent
+cache exceed the 16 GB HBM of one v5e; tokens/s/layer extrapolates. A dense
+bf16 KV cache at 64K would need ~25 GB for the cache ALONE -- the dense
+baseline therefore runs at its largest feasible context instead, which is
+the Palu value proposition in one number.
+
+Variants: palu3 / palu4 (3/4-bit packed latent cache, fused-dequant v2
+kernel) at SEQ (default 65536); dense at DENSE_SEQ (default 4096).
+
+Timing: N decode steps chained in one lax.scan executable, one host fetch
+(docs/BENCH.md methodology).
+
+Usage: python tools/tpu_model_bench.py [variants...]   (default: palu3 dense)
+Env: LAYERS=24 SEQ=65536 DENSE_SEQ=4096 STEPS=50
+"""
+import sys, os, time, functools, json
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import numpy as np
+import jax, jax.numpy as jnp
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from palu_tpu.core import quant as qm
+from palu_tpu.core.quant import QuantConfig, packed_nrows
+from palu_tpu.ops.pallas.palu_decode2 import palu_flash_decode2_quantized
+
+L = int(os.environ.get("LAYERS", 24))
+SEQ = int(os.environ.get("SEQ", 65536))
+DENSE_SEQ = int(os.environ.get("DENSE_SEQ", 4096))
+STEPS = int(os.environ.get("STEPS", 50))
+BLOCK_S = int(os.environ.get("BS", 1024))
+INTERP = bool(int(os.environ.get("INTERP", "0")))
+
+H = int(os.environ.get("HIDDEN", 4096))
+NH, HD = int(os.environ.get("HEADS", 32)), 128
+INTER, VOCAB = int(os.environ.get("INTER", 11008)), 32000
+GS, G = 4, 8
+RK, RV = 128, 384  # per group (totals 1024 / 3072)
+HPG = NH // G
+THETA = 10000.0
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def stacked_weights(key, dense_kv: bool):
+    """Per-layer weights stacked on a leading L axis, built on device."""
+    ks = iter(jax.random.split(key, 24))
+    nrm = lambda shape, s=0.02: (jax.random.normal(next(ks), (L,) + shape, jnp.bfloat16) * s)
+    w = {
+        "ln1": jnp.ones((L, H), jnp.bfloat16),
+        "ln2": jnp.ones((L, H), jnp.bfloat16),
+        "wq": nrm((H, NH * HD)),
+        "gate": nrm((H, INTER)),
+        "up": nrm((H, INTER)),
+        "down": nrm((INTER, H)),
+    }
+    if dense_kv:
+        w["wk"] = nrm((H, NH * HD))
+        w["wv"] = nrm((H, NH * HD))
+        w["wo"] = nrm((NH * HD, H))
+    else:
+        w["vt_k"] = nrm((H, G * RK))
+        w["vt_v"] = nrm((H, G * RV))
+        w["b_k"] = nrm((G, HPG, RK, HD), 0.05)
+        w["wo_fused"] = nrm((NH * RV, H))
+    return w
+
+
+def rms(x, g):
+    xf = x.astype(jnp.float32)
+    v = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(v + 1e-5)).astype(x.dtype) * g
+
+
+def rope_q(q, pos):
+    half = HD // 2
+    inv = 1.0 / (THETA ** (jnp.arange(0, HD, 2, dtype=jnp.float32) / HD))
+    f = pos.astype(jnp.float32) * inv
+    cos = jnp.concatenate([jnp.cos(f), jnp.cos(f)])
+    sin = jnp.concatenate([jnp.sin(f), jnp.sin(f)])
+    rot = jnp.concatenate([-q[..., half:], q[..., :half]], axis=-1)
+    return (q * cos + rot * sin).astype(q.dtype)
+
+
+def build_palu(bits):
+    qc = QuantConfig(bits=bits, group_size=0)
+    w = stacked_weights(jax.random.PRNGKey(0), dense_kv=False)
+    s_max = (SEQ + STEPS + BLOCK_S) // BLOCK_S * BLOCK_S
+    nrk, nrv = packed_nrows(RK, bits), packed_nrows(RV, bits)
+    key = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def seed_cache(key):
+        ks = jax.random.split(key, 2)
+        # quantize a random latent slab once, reuse per layer (content is
+        # irrelevant for timing; shapes/dtypes are what matter)
+        def enc(k, r, nr):
+            lat = jax.random.normal(k, (1, G, s_max, r), jnp.float32)
+            c, s, z = qm.quantize_affine(lat, qc)
+            # leaves keep the (L, B=1, ...) layout; scan strips L per layer
+            return (jnp.broadcast_to(qm.pack_codes_t(c, bits), (L, 1, G, nr, s_max)),
+                    jnp.broadcast_to(s[..., 0], (L, 1, G, s_max)),
+                    jnp.broadcast_to(z[..., 0], (L, 1, G, s_max)))
+        kc, kss, kz = enc(ks[0], RK, nrk)
+        vc, vs, vz = enc(ks[1], RV, nrv)
+        return dict(kc=kc, ks=kss, kz=kz, vc=vc, vs=vs, vz=vz)
+
+    cache0 = seed_cache(key)
+    # NOTE broadcast_to materializes on write; force independent buffers
+    cache0 = jax.tree.map(jnp.asarray, cache0)
+
+    def step(x, cache, pos):
+        """x (1, H) hidden state; one decode step through all layers."""
+        def layer(carry, inp):
+            x, = carry
+            wl, cl = inp
+            h = rms(x, wl["ln1"])
+            q = (h @ wl["wq"]).reshape(1, NH, HD)
+            q = rope_q(q, pos)
+            lat_k = (h @ wl["vt_k"]).reshape(1, G, 1, RK)
+            lat_v = (h @ wl["vt_v"]).reshape(1, G, 1, RV)
+            kc2, ks2, kz2 = qm.quantize_affine(lat_k, qc)
+            vc2, vs2, vz2 = qm.quantize_affine(lat_v, qc)
+            kcp = qm.pack_codes_t(kc2, bits)[:, :, :, 0]  # (1, G, nrk)
+            vcp = qm.pack_codes_t(vc2, bits)[:, :, :, 0]
+            p = pos[0]
+            new_c = {
+                "kc": jax.lax.dynamic_update_slice(cl["kc"], kcp[..., None], (0, 0, 0, p)),
+                "vc": jax.lax.dynamic_update_slice(cl["vc"], vcp[..., None], (0, 0, 0, p)),
+                "ks": jax.lax.dynamic_update_slice(cl["ks"], ks2[:, :, :, 0], (0, 0, p)),
+                "kz": jax.lax.dynamic_update_slice(cl["kz"], kz2[:, :, :, 0], (0, 0, p)),
+                "vs": jax.lax.dynamic_update_slice(cl["vs"], vs2[:, :, :, 0], (0, 0, p)),
+                "vz": jax.lax.dynamic_update_slice(cl["vz"], vz2[:, :, :, 0], (0, 0, p)),
+            }
+            lat_out = palu_flash_decode2_quantized(
+                q, wl["b_k"], new_c["kc"], new_c["ks"], new_c["kz"],
+                new_c["vc"], new_c["vs"], new_c["vz"], pos + 1,
+                qcfg=qc, rk=RK, rv=RV, block_s=BLOCK_S, theta=THETA,
+                interpret=INTERP,
+            )  # (1, NH, RV)
+            x = x + lat_out.astype(jnp.bfloat16).reshape(1, NH * RV) @ wl["wo_fused"]
+            h2 = rms(x, wl["ln2"])
+            x = x + (jax.nn.silu(h2 @ wl["gate"]) * (h2 @ wl["up"])) @ wl["down"]
+            return (x,), new_c
+
+        cache_t = {k: cache[k] for k in cache}
+        (x,), new_cache = jax.lax.scan(layer, (x,), (w, cache_t))
+        return x, new_cache
+
+    @jax.jit
+    def run(x0, cache):
+        def body(carry, i):
+            x, cache = carry
+            pos = jnp.full((1,), SEQ + i, jnp.int32)
+            x, cache = step(x, cache, pos)
+            # feed output back in (data dependency chains the steps)
+            return (x * jnp.bfloat16(0.125), cache), ()
+        (x, cache), _ = jax.lax.scan(body, (x0, cache), jnp.arange(STEPS))
+        return x
+
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (1, H), jnp.bfloat16) * 0.1
+    return run, x0, cache0
+
+
+def build_dense():
+    w = stacked_weights(jax.random.PRNGKey(0), dense_kv=True)
+    s_max = (DENSE_SEQ + STEPS + BLOCK_S) // BLOCK_S * BLOCK_S
+    k0 = jax.random.normal(jax.random.PRNGKey(3), (L, 1, NH, s_max, HD), jnp.bfloat16)
+    v0 = jax.random.normal(jax.random.PRNGKey(4), (L, 1, NH, s_max, HD), jnp.bfloat16)
+    cache0 = {"k": k0, "v": v0}
+    chunk = BLOCK_S
+
+    def step(x, cache, pos):
+        def layer(carry, inp):
+            x, = carry
+            wl, cl = inp
+            h = rms(x, wl["ln1"])
+            q = rope_q((h @ wl["wq"]).reshape(1, NH, HD), pos)
+            k_new = rope_q((h @ wl["wk"]).reshape(1, NH, HD), pos)
+            v_new = (h @ wl["wv"]).reshape(1, NH, HD)
+            p = pos[0]
+            kc = jax.lax.dynamic_update_slice(cl["k"], k_new[:, :, None], (0, 0, p, 0))
+            vc = jax.lax.dynamic_update_slice(cl["v"], v_new[:, :, None], (0, 0, p, 0))
+            kv_len = pos + 1
+
+            def body(carry2, idx):
+                m, l, acc = carry2
+                kb = jax.lax.dynamic_slice_in_dim(kc, idx * chunk, chunk, 2)
+                vb = jax.lax.dynamic_slice_in_dim(vc, idx * chunk, chunk, 2)
+                lg = jnp.einsum("bhd,bhcd->bhc", q.astype(jnp.float32),
+                                kb.astype(jnp.float32)) / np.sqrt(HD)
+                ps = idx * chunk + jnp.arange(chunk)
+                valid = ps[None, :] < kv_len[:, None]
+                lg = jnp.where(valid[:, None], lg, -1e30)
+                m2 = jnp.maximum(m, jnp.max(lg, axis=-1))
+                alpha = jnp.exp(m - m2)
+                pr = jnp.exp(lg - m2[..., None])
+                pr = jnp.where(valid[:, None], pr, 0.0)
+                l2 = l * alpha + jnp.sum(pr, axis=-1)
+                pv = jnp.einsum("bhc,bhcd->bhd", pr, vb.astype(jnp.float32))
+                return (m2, l2, acc * alpha[..., None] + pv), ()
+
+            m0 = jnp.full((1, NH), -1e30, jnp.float32)
+            l0 = jnp.zeros((1, NH), jnp.float32)
+            a0 = jnp.zeros((1, NH, HD), jnp.float32)
+            (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0),
+                                          jnp.arange(s_max // chunk))
+            att = (acc / l[..., None]).astype(jnp.bfloat16).reshape(1, NH * HD)
+            x = x + att @ wl["wo"]
+            h2 = rms(x, wl["ln2"])
+            x = x + (jax.nn.silu(h2 @ wl["gate"]) * (h2 @ wl["up"])) @ wl["down"]
+            return (x,), {"k": kc, "v": vc}
+
+        (x,), new_cache = jax.lax.scan(layer, (x,), (w, cache))
+        return x, new_cache
+
+    @jax.jit
+    def run(x0, cache):
+        def body(carry, i):
+            x, cache = carry
+            pos = jnp.full((1,), DENSE_SEQ + i, jnp.int32)
+            x, cache = step(x, cache, pos)
+            return (x * jnp.bfloat16(0.125), cache), ()
+        (x, cache), _ = jax.lax.scan(body, (x0, cache), jnp.arange(STEPS))
+        return x
+
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (1, H), jnp.bfloat16) * 0.1
+    return run, x0, cache0
+
+
+def time_variant(name, build):
+    run, x0, cache0 = build()
+    log(f"# {name}: compiling...")
+    t0 = time.time()
+    out = run(x0, cache0)
+    _ = np.asarray(out[0, :1])
+    log(f"# {name}: compile+first {time.time()-t0:.0f}s")
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(x0, cache0)
+        _ = np.asarray(out[0, :1])
+        ts.append((time.perf_counter() - t0) / STEPS)
+    tpot = min(ts) * 1e3
+    log(f"# {name}: TPOT {tpot:.2f} ms/step ({1e3/tpot:.1f} tok/s, {L} layers)")
+    return tpot
+
+
+if __name__ == "__main__":
+    variants = sys.argv[1:] or ["palu3", "dense"]
+    results = {}
+    for v in variants:
+        if v == "dense":
+            results[v] = time_variant(f"dense bf16-KV @{DENSE_SEQ}", build_dense)
+        else:
+            bits = int(v[-1])
+            results[v] = time_variant(
+                f"palu {bits}-bit latent-KV @{SEQ}",
+                functools.partial(build_palu, bits),
+            )
+    log(json.dumps({"layers": L, "seq": SEQ, "dense_seq": DENSE_SEQ,
+                    "tpot_ms": results}))
