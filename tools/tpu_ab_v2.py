@@ -2,11 +2,13 @@
 operating point (32 heads, hd 128, rank_k 1024, rank_v 3072, gs 4, 64K).
 
 Usage: python tools/tpu_ab_v2.py [variants...]
-  variants: v1 v2 v1q3 v2q3 v1q4 v2q4 v2q2 (default: v1 v2 v2q3 v2q4)
+  variants: v1 v2 v1q3 v2q3 v1q4 v2q4 v2q2 xla (default: v1 v2 v2q3 v2q4)
 
-Direct-call timing with host fetch (tpu_ab3.py methodology): per-call
-dispatch adds ~1ms constant overhead through the tunnel, fine for relative
-comparison; final numbers come from bench.py's chained scan.
+Default timing is CHAINED: CHAIN (default 32) kernel invocations linked by
+a data dependency inside ONE executable (lax.scan), so host dispatch --
+measured at 1.5-2.4 ms/call through the tunnel, i.e. larger than the
+kernels themselves -- cancels out entirely.  Set DIRECT=1 for the old
+async-dispatch per-call loop (only meaningful above the dispatch floor).
 """
 import sys, os, time, functools
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
@@ -22,6 +24,7 @@ from palu_tpu.core import quant as qm
 from palu_tpu.core.quant import QuantConfig
 from palu_tpu.ops.pallas.palu_decode import palu_flash_decode, palu_flash_decode_quantized
 from palu_tpu.ops.pallas.palu_decode2 import palu_flash_decode2, palu_flash_decode2_quantized
+from palu_tpu.ops import attention as att_ops
 
 seq = int(os.environ.get("SEQ", 65536))
 block_s = int(os.environ.get("BS", 1024))
@@ -82,15 +85,32 @@ def make_fn(variant):
             block_s=block_s))
         args = (b_k,) + qargs + (kvl,)
         sol = sol_bf16 * (bits / 16 + 0.02)
+    elif variant == "xla":
+        # pure-XLA lax.scan flash decode over the latent cache (the dense
+        # baseline at its own SoL is also XLA-scan -- does XLA pipeline
+        # the streaming better than the pallas grid?)
+        chunk = block_s
+
+        def xla_fn(q_, b_k_, x_k_, x_v_, kvl_):
+            return att_ops.flash_decode_latent(
+                q_,
+                lambda i: jax.lax.dynamic_slice_in_dim(x_k_, i * chunk, chunk, 2),
+                lambda i: jax.lax.dynamic_slice_in_dim(x_v_, i * chunk, chunk, 2),
+                b_k_, seq // chunk, chunk, kvl_, hd, 10000.0, rv, None)
+
+        fn = jax.jit(xla_fn)
+        args = (b_k, x_k, x_v, kvl)
+        sol = sol_bf16
     else:
         raise SystemExit(f"unknown variant {variant}")
     return fn, args, sol
 
 
-print(f"devices: {jax.devices()}  seq={seq} block_s={block_s} "
-      f"bf16-SoL={sol_bf16:.0f}us", flush=True)
-for variant in variants:
-    fn, args, sol = make_fn(variant)
+NCH = int(os.environ.get("CHAIN", 32))
+direct = os.environ.get("DIRECT", "") == "1"
+
+
+def time_direct(fn, args):
     t0 = time.time()
     out = fn(q0, *args)
     _ = np.asarray(out[0, 0, :1])
@@ -98,12 +118,42 @@ for variant in variants:
     # async-dispatch N executions, one fetch (amortizes ~30ms tunnel RTT)
     reps = []
     for _ in range(3):
-        NCH = 32
         t0 = time.perf_counter()
         for i in range(NCH):
             out = fn(q0, *args)
         _ = np.asarray(out[0, 0, :1])
         reps.append((time.perf_counter() - t0) / NCH)
-    us = min(reps) * 1e6
+    return min(reps) * 1e6, compile_s
+
+
+def time_chained(fn, args):
+    def chained(q, *a):
+        def body(q, _):
+            out = fn(q, *a)
+            s = (jnp.sum(out) * 1e-12).astype(jnp.bfloat16)
+            return q0 + s, ()
+
+        qf, _ = jax.lax.scan(body, q, None, length=NCH)
+        return qf
+
+    cj = jax.jit(chained)
+    t0 = time.time()
+    out = cj(q0, *args)
+    _ = np.asarray(out[0, 0, :1])  # fetch forces real completion on axon
+    compile_s = time.time() - t0
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = cj(out, *args)
+        _ = np.asarray(out[0, 0, :1])
+        reps.append((time.perf_counter() - t0) / NCH)
+    return min(reps) * 1e6, compile_s
+
+
+print(f"devices: {jax.devices()}  seq={seq} block_s={block_s} chain={0 if direct else NCH} "
+      f"bf16-SoL={sol_bf16:.0f}us", flush=True)
+for variant in variants:
+    fn, args, sol = make_fn(variant)
+    us, compile_s = (time_direct if direct else time_chained)(fn, args)
     print(f"{variant:5s}: {us:7.0f} us ({100*sol/us:3.0f}% SoL~{sol:.0f}us), "
           f"compile {compile_s:.0f}s", flush=True)

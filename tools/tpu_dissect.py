@@ -163,32 +163,31 @@ bytes_read = g * seq * (rk + rv) * 2
 sol_us = bytes_read / 819e9 * 1e6
 print(f"seq={seq} block_s={block_s} read={bytes_read/1e6:.0f}MB SoL={sol_us:.0f}us")
 
-bump = jax.jit(lambda a: a * jnp.bfloat16(1.0001))
-# dispatch floor: tiny op through the same async-dispatch loop
-tiny = jnp.ones((8, 128), jnp.bfloat16)
-_ = np.asarray(bump(tiny)[0, :1])
-for _r in range(2):
-    t0 = time.perf_counter()
-    for _i in range(32):
-        tiny = bump(tiny)
-    _ = np.asarray(tiny[0, :1])
-    print(f"dispatch floor: {(time.perf_counter()-t0)/32*1e6:.0f} us/call", flush=True)
+NCH = 32
 for mode in (sys.argv[3].split(",") if len(sys.argv) > 3 else ["full", "novalue", "nologits", "dmaonly", "noop"]):
     # arrays must be jit ARGUMENTS: closure-captured buffers become HLO
-    # constants and make the compile pathological
-    fn = jax.jit(functools.partial(call, mode))
+    # constants and make the compile pathological.
+    # CHAINED timing: NCH invocations linked by a data dependency in one
+    # executable -- host dispatch through the tunnel costs 1.5-2.4 ms/call,
+    # MORE than these kernels, so per-call dispatch loops only measure the
+    # host (round-1's "1.6ms floor" was exactly that artifact).
+    def chained(q1_, q2_, b1_, b2_, xk_, xv_, kvl_, _mode=mode):
+        def body(c, _):
+            out = call(_mode, c, q2_, b1_, b2_, xk_, xv_, kvl_)
+            s = (jnp.sum(out) * 1e-12).astype(q1_.dtype)
+            return q1_ + s, ()
+        qf, _ = jax.lax.scan(body, q1_, None, length=NCH)
+        return qf
+
+    fn = jax.jit(chained)
     t0 = time.time()
     out = fn(q1, q2, b1, b2, x_k, x_v, kvl)
     _ = np.asarray(out[0, 0, :1])  # fetch forces real completion on axon
     compile_s = time.time() - t0
-    # async-dispatch N executions, fetch once: amortizes the ~30ms tunnel
-    # round-trip that drowns per-call timing (device serializes execution)
     reps = []
     for _ in range(3):
-        NCH = 32
         t0 = time.perf_counter()
-        for i in range(NCH):
-            out = fn(q1, q2, b1, b2, x_k, x_v, kvl)
+        out = fn(q1, q2, b1, b2, x_k, x_v, kvl)
         _ = np.asarray(out[0, 0, :1])
         reps.append((time.perf_counter() - t0) / NCH)
     per_call = min(reps) * 1e6
