@@ -24,6 +24,7 @@ from palu_tpu.core import quant as qm
 from palu_tpu.core.quant import QuantConfig
 from palu_tpu.ops.pallas.palu_decode import palu_flash_decode, palu_flash_decode_quantized
 from palu_tpu.ops.pallas.palu_decode2 import palu_flash_decode2, palu_flash_decode2_quantized
+from palu_tpu.ops.pallas.palu_decode3 import palu_flash_decode3_quantized, sz_pack
 from palu_tpu.ops import attention as att_ops
 
 seq = int(os.environ.get("SEQ", 65536))
@@ -84,6 +85,17 @@ def make_fn(variant):
             palu_flash_decode2_quantized, qcfg=qc, rk=rk, rv=rv,
             block_s=block_s))
         args = (b_k,) + qargs + (kvl,)
+        sol = sol_bf16 * (bits / 16 + 0.02)
+    elif variant.startswith("v3q"):
+        bits = int(variant[3:])
+        qc = QuantConfig(bits=bits, group_size=0)
+        kc, kss, kz = qm.quantize_affine(x_k, qc)
+        vc, vss, vz = qm.quantize_affine(x_v, qc)
+        fn = jax.jit(functools.partial(
+            palu_flash_decode3_quantized, qcfg=qc, rk=rk, rv=rv,
+            block_s=block_s))
+        args = (b_k, qm.pack_codes_t(kc, bits), sz_pack(kss[..., 0], kz[..., 0]),
+                qm.pack_codes_t(vc, bits), sz_pack(vss[..., 0], vz[..., 0]), kvl)
         sol = sol_bf16 * (bits / 16 + 0.02)
     elif variant == "xla":
         # pure-XLA lax.scan flash decode over the latent cache (the dense

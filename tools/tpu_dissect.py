@@ -163,7 +163,7 @@ bytes_read = g * seq * (rk + rv) * 2
 sol_us = bytes_read / 819e9 * 1e6
 print(f"seq={seq} block_s={block_s} read={bytes_read/1e6:.0f}MB SoL={sol_us:.0f}us")
 
-NCH = 32
+NCH = int(os.environ.get("NCH", 32))
 for mode in (sys.argv[3].split(",") if len(sys.argv) > 3 else ["full", "novalue", "nologits", "dmaonly", "noop"]):
     # arrays must be jit ARGUMENTS: closure-captured buffers become HLO
     # constants and make the compile pathological.

@@ -68,7 +68,7 @@ def _mk(kernel_body, args, specs):
 
 
 def spec4(rows):
-    return pl.BlockSpec((None, rows, BS), lambda si: (0, 0, si))
+    return pl.BlockSpec((g, rows, BS), lambda si: (0, 0, si))
 
 
 def _frame(c_ref, out_ref, acc, contrib):
@@ -101,8 +101,8 @@ def unpack3_parts(ref, gi, rank):
 def make(variant):
     if variant == "base":
         def body(c_ref, kref, vref, out_ref, acc):
-            s = kref[0][0:8, 0:128].astype(jnp.float32) + \
-                vref[0][0:8, 0:128].astype(jnp.float32)
+            s = (kref[0][0:8, 0:128].astype(jnp.int32)
+                 + vref[0][0:8, 0:128].astype(jnp.int32)).astype(jnp.float32)
             _frame(c_ref, out_ref, acc, s * 1e-20)
         return _mk(body, [pk4, pv4], [spec4(rk // 2), spec4(rv // 2)])
 
@@ -139,21 +139,20 @@ def make(variant):
                         p.astype(jnp.bfloat16), bslice.astype(jnp.bfloat16),
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                s = s + xb[0:8, 0:128] * 1e-20
+                s = s + jnp.sum(xb[0:8, :], axis=1, keepdims=True) * 1e-20
                 # V path: natural (rows,BS)@(BS,hpg) per part
                 partsv = unpack4_parts(vref, gi)
-                pv = jnp.zeros((rv, 8), jnp.float32)
                 pg = pref[gi].astype(jnp.bfloat16)
                 for k, p in enumerate(partsv):
                     out = jnp.dot(p.astype(jnp.bfloat16), pg,
                                   preferred_element_type=jnp.float32)
-                    pv = pv.at[k * (rv // 2):(k + 1) * (rv // 2)].set(out)
-                s = s + pv[0:8, 0:8].sum() * 1e-20
+                    s = s + jnp.sum(out[0:8, :], axis=1,
+                                    keepdims=True) * 1e-20
             _frame(c_ref, out_ref, acc, s)
         return _mk(body, [pk4, pv4, b1, bv],
                    [spec4(rk // 2), spec4(rv // 2),
-                    pl.BlockSpec((None, rk, W), lambda si: (0, 0, 0)),
-                    pl.BlockSpec((None, BS, 8), lambda si: (0, 0, 0))])
+                    pl.BlockSpec((g, rk, W), lambda si: (0, 0, 0)),
+                    pl.BlockSpec((g, BS, 8), lambda si: (0, 0, 0))])
 
     if variant == "ext4ccmm":
         def body(c_ref, kref, vref, b1ref, pref, out_ref, acc):
@@ -165,7 +164,7 @@ def make(variant):
                     ck, b1ref[gi].astype(jnp.bfloat16),
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (BS, W)
-                s = s + xb[0:8, 0:128] * 1e-20
+                s = s + jnp.sum(xb[0:8, :], axis=1, keepdims=True) * 1e-20
                 cv = jnp.concatenate(unpack4_parts(vref, gi), axis=0
                                      ).astype(jnp.bfloat16)
                 pv = jnp.dot(cv, pref[gi].astype(jnp.bfloat16),
@@ -174,8 +173,8 @@ def make(variant):
             _frame(c_ref, out_ref, acc, s)
         return _mk(body, [pk4, pv4, b1, bv],
                    [spec4(rk // 2), spec4(rv // 2),
-                    pl.BlockSpec((None, rk, W), lambda si: (0, 0, 0)),
-                    pl.BlockSpec((None, BS, 8), lambda si: (0, 0, 0))])
+                    pl.BlockSpec((g, rk, W), lambda si: (0, 0, 0)),
+                    pl.BlockSpec((g, BS, 8), lambda si: (0, 0, 0))])
 
     if variant in ("ext3cc", "ext3nc"):
         cc = variant == "ext3cc"
@@ -202,7 +201,7 @@ def make(variant):
             s = jnp.zeros((8, 128), jnp.float32)
             for ref in (kref, vref):
                 for gi in range(g):
-                    u = ref[gi].astype(jnp.bfloat16)
+                    u = ref[gi].astype(jnp.int32).astype(jnp.bfloat16)
                     s = s + jnp.sum(u.astype(jnp.float32), axis=0,
                                     keepdims=True)[:, 0:128] * 1e-20
             _frame(c_ref, out_ref, acc, s)
