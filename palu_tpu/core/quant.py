@@ -235,7 +235,8 @@ def quantize_affine(x: jax.Array, cfg: QuantConfig):
     scales, base, q_min, q_max = _scales_base(g, cfg.bits, cfg.sym, cfg.clip_ratio)
     gf = g.astype(jnp.float32)
     q = jnp.clip(jnp.round(gf / scales) + base, q_min, q_max)
-    codes = (q - q_min).astype(jnp.int8).reshape(x.shape)
+    # uint8 so the full 8-bit code range survives (int8 would wrap at 128)
+    codes = (q - q_min).astype(jnp.uint8).reshape(x.shape)
     zeros = (q_min - base) * scales
     return codes, scales.squeeze(-1), zeros.squeeze(-1)
 

@@ -1,0 +1,345 @@
+"""Pallas TPU fused Palu flash-decode, v4: the transposed formulation.
+
+Why v2/v3 were slow (converged chain-256 numbers, docs/BENCH.md): the
+quantized caches stream only 100-170 MB (SoL 0.14-0.18 ms) so the kernel
+is COMPUTE-bound, and nearly all of that compute was MXU *slot waste*:
+every logits / value dot produced an `hpg`-wide output (4 of the MXU's
+128 lanes), so each such matmul occupied 32x the useful array slots.
+Per group-block at the headline point (BS=1024, rk=128, rv=384, W=256):
+
+    v3: recon 67M slots (useful) + logits 67M (3% useful)
+        + zero-point 67M (3% useful) + value 50M (3% useful)  = 251M
+    v4: recon 67M + logits 2M + value 3.1M                    = 72M
+
+v4 gets there by computing everything TRANSPOSED, with the sequence
+dimension (the only large dimension at decode) always on the 128-lane
+axis:
+
+1. **Transposed reconstruct.**  The rank-major packed cache already
+   unpacks to codes `(rank, BS)`; v4 contracts `B^T (W, rank) @ codes`
+   into `xb^T (W, BS)` -- full MXU utilization, no relayout, where
+   v2/v3 built `(BS, W)` and then hit narrow-N dots.
+2. **Logits via a 0/1 segment matrix.**  The query enters as per-lane
+   rows folded into the static relative-RoPE tables:
+   `t = xb1^T * CA1 + xb2^T * CA2` with `CA1 = cos_rel * a1 + sin_rel
+   * a2` (a1/a2 = the block-offset-rotated query laid out along W),
+   then `logits^T (hpg, BS) = seg (hpg, W) @ t`.  Groups are processed
+   in PAIRS so the dot output is 8 sublanes (tile-aligned) and the
+   final `(nh, BS)` concat never splits a sublane tile.
+3. **Transposed value path.**  `out (hpg, rv) = p_g (hpg, BS) @
+   codes_v (rv, BS)^T` -- contraction over the sequence lanes of both
+   operands; 2x M-padding instead of 32x N-padding.
+4. **Symmetric codes, no zero-point math.**  With `QuantConfig(sym=
+   True)` the affine zero is exactly `q_min * scale`, so the kernel
+   subtracts the constant `2^(bits-1)` from the unpacked codes and
+   multiplies by the per-token scale row once per group -- the entire
+   zero-point logits term of v2/v3 (two full-size dots + a second
+   rotation) does not exist.  Asymmetric caches keep using v2/v3.
+5. **Online softmax in (heads, seq) layout**: head statistics are
+   (nh, 1) columns, reductions run over lanes, and the output
+   accumulator is `(g, hpg, rv)` so the final result reshapes to
+   `(B, nh, rv)` with no transpose at all.
+
+The fp16 Triton analog of the K path is the reference's
+kernel/abx_rope.py:48-111; the fused low-bit dequant is the TODO the
+reference never built (/root/reference/README.md:24).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.quant import QuantConfig, packed_nrows
+
+__all__ = ["palu_flash_decode4_quantized"]
+
+
+def _unpack_rank_major_t(codes_ref_block, bits: int, rank: int, qoff: int, cdt):
+    """uint8 block (rows, BS) -> signed codes (rank, BS) in natural rank
+    order, already re-centered by the symmetric offset 2^(bits-1)."""
+    c = codes_ref_block.astype(jnp.int32)
+    if bits in (2, 4):
+        s = 8 // bits
+        mask = 2**bits - 1
+        parts = [(((c >> (bits * k)) & mask) - qoff) for k in range(s)]
+        return jnp.concatenate(parts, axis=0).astype(cdt)
+    if bits == 3:
+        r = rank // 8
+        b0, b1, b2 = c[0 * r : 1 * r], c[1 * r : 2 * r], c[2 * r : 3 * r]
+        parts = []
+        for k in range(8):
+            f = ((b0 >> k) & 1) | (((b1 >> k) & 1) << 1) | (((b2 >> k) & 1) << 2)
+            parts.append(f - qoff)
+        return jnp.concatenate(parts, axis=0).astype(cdt)
+    if bits == 8:
+        return (c - qoff).astype(cdt)
+    raise ValueError(f"unsupported bits: {bits}")
+
+
+def _rel_tables_t(block_s: int, half: int, hpg: int, theta: float,
+                  inv_freq_static, rope_scale: float):
+    """Static (hpg*half, block_s) relative cos/sin tables (W-major) and the
+    inv_freq row.  rope_scale (yarn mscale) multiplies the whole rotation."""
+    if inv_freq_static is not None:
+        inv_freq = np.asarray(inv_freq_static, np.float64).reshape(half)
+    else:
+        inv_freq = 1.0 / theta ** (np.arange(half, dtype=np.float64) * 2 / (2 * half))
+    rel = inv_freq[:, None] * np.arange(block_s, dtype=np.float64)[None, :]
+    cos = np.cos(rel) * rope_scale
+    sin = np.sin(rel) * rope_scale
+    cos = np.tile(cos, (hpg, 1)).astype(np.float32)  # (W, BS)
+    sin = np.tile(sin, (hpg, 1)).astype(np.float32)
+    return cos, sin, inv_freq
+
+
+def _seg_pair(hpg: int, half: int, dtype):
+    """(2*hpg, 2*W) 0/1 block-diagonal segment-sum matrix for a PAIR of
+    groups: row r sums the lanes of head r%hpg within pair member r//hpg."""
+    W = hpg * half
+    seg = np.zeros((2 * hpg, 2 * W), np.float32)
+    for m in range(2):
+        for h in range(hpg):
+            seg[m * hpg + h, m * W + h * half : m * W + (h + 1) * half] = 1.0
+    return seg.astype(dtype)
+
+
+def _make_kernel4(
+    *,
+    block_s: int,
+    g: int,
+    hpg: int,
+    half: int,
+    sliding_window: Optional[int],
+    bits: int,
+    rk: int,
+    rv: int,
+    compute_dtype=jnp.bfloat16,
+):
+    cdt = compute_dtype
+    nh = g * hpg
+    qoff = 2 ** (bits - 1)
+    pair = g % 2 == 0
+
+    def kernel(kv_len_ref, a1_ref, a2_ref, b1t_ref, b2t_ref, seg_ref,
+               cos_ref, sin_ref, xk_codes, xk_s, xv_codes, xv_s,
+               out_ref, m_scr, l_scr, acc_scr):
+        sblk = pl.program_id(1)
+        nblk = pl.num_programs(1)
+        kv_len = kv_len_ref[pl.program_id(0)]
+
+        @pl.when(sblk == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -1e30)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        pos_start = sblk * block_s
+        cos = cos_ref[...]  # (W, BS) static relative tables
+        sin = sin_ref[...]
+
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1) + pos_start
+        valid = pos < kv_len  # (1, BS) -- broadcasts over head sublanes
+        if sliding_window is not None:
+            valid = jnp.logical_and(valid, pos > (kv_len - 1) - sliding_window)
+
+        ks_rows = xk_s[...]  # (g, BS) per-token K scales
+        vs_rows = xv_s[...]
+
+        def k_path(gi):
+            """t (W, BS) in compute dtype: roped-K logit contributions per
+            lane, before segment summation and per-token scaling."""
+            a1 = a1_ref[:, gi : gi + 1]  # (W, 1) offset-rotated query lanes
+            a2 = a2_ref[:, gi : gi + 1]
+            ca1 = cos * a1 + sin * a2  # (W, BS)
+            ca2 = cos * a2 - sin * a1
+            ck = _unpack_rank_major_t(xk_codes[gi], bits, rk, qoff, cdt)
+            xb1 = jax.lax.dot_general(
+                b1t_ref[gi].astype(cdt), ck, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (W, BS)
+            xb2 = jax.lax.dot_general(
+                b2t_ref[gi].astype(cdt), ck, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return (xb1 * ca1 + xb2 * ca2).astype(cdt)
+
+        # ---- K path: per-pair segment dot -> (2*hpg, BS), tile-aligned ----
+        parts = []
+        if pair:
+            for gj in range(0, g, 2):
+                t2 = jnp.concatenate([k_path(gj), k_path(gj + 1)], axis=0)
+                lg2 = jnp.dot(seg_ref[...].astype(cdt), t2,
+                              preferred_element_type=jnp.float32)  # (2hpg, BS)
+                sc = jnp.concatenate(
+                    [jnp.broadcast_to(ks_rows[gj + m : gj + m + 1, :],
+                                      (hpg, block_s)) for m in range(2)],
+                    axis=0)
+                parts.append(lg2 * sc)
+        else:
+            for gi in range(g):
+                lg = jnp.dot(seg_ref[0:hpg, 0 : hpg * half].astype(cdt),
+                             k_path(gi), preferred_element_type=jnp.float32)
+                parts.append(lg * ks_rows[gi : gi + 1, :])
+        logits = jnp.concatenate(parts, axis=0)  # (nh, BS); 1/sqrt(hd) in q
+        logits = jnp.where(valid, logits, -1e30)
+
+        # ---- online softmax carry: head stats are (nh, 1) columns ----
+        m_prev = m_scr[0:nh, 0:1]
+        l_prev = l_scr[0:nh, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)  # (nh, BS)
+        p = jnp.where(valid, p, 0.0)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        # ---- V path: (hpg, BS) @ (rv, BS)^T, contraction over seq lanes ----
+        for gi in range(g):
+            cv = _unpack_rank_major_t(xv_codes[gi], bits, rv, qoff, cdt)
+            p_g = p[gi * hpg : (gi + 1) * hpg, :]
+            ps = (p_g * vs_rows[gi : gi + 1, :]).astype(cdt)
+            pv = jax.lax.dot_general(
+                ps, cv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (hpg, rv)
+            alpha_g = alpha[gi * hpg : (gi + 1) * hpg, :]
+            acc_scr[gi] = acc_scr[gi] * alpha_g + pv
+        m_scr[0:nh, 0:1] = m_new
+        l_scr[0:nh, 0:1] = l_new
+
+        @pl.when(sblk == nblk - 1)
+        def _finalize():
+            for gi in range(g):
+                l_g = l_scr[gi * hpg : (gi + 1) * hpg, 0:1]
+                out_ref[gi] = (acc_scr[gi] / l_g).astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window",
+                     "interpret", "compute_dtype", "inv_freq_static",
+                     "rope_scale"),
+)
+def palu_flash_decode4_quantized(
+    q: jax.Array,  # (B, nh, hd)
+    b_k: jax.Array,  # (G, hpg, rk, hd)
+    xk_codes: jax.Array,  # (B, G, packed_nrows(rk), S_max) uint8 rank-major
+    xk_scale: jax.Array,  # (B, G, S_max) f32 per-token scales
+    xv_codes: jax.Array,  # (B, G, packed_nrows(rv), S_max) uint8
+    xv_scale: jax.Array,  # (B, G, S_max) f32
+    kv_len: jax.Array,
+    *,
+    qcfg: QuantConfig,
+    rk: int,
+    rv: int,
+    block_s: int = 1024,
+    theta: float = 10000.0,
+    sliding_window: Optional[int] = None,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    inv_freq_static=None,
+    rope_scale: float = 1.0,
+) -> jax.Array:
+    """Decode attention over a SYMMETRICALLY quantized rank-major latent
+    cache -> (B, nh, rv) latent-space output.
+
+    Codes are the unsigned `quantize_affine` codes of a sym QuantConfig
+    (zero-point == q_min * scale identically), so dequant inside the kernel
+    is `scale * (code - 2^(bits-1))`.  See the module docstring for the
+    transposed design; numerics are differentially tested against
+    palu_flash_decode2_quantized in tests/test_kernels.py.
+    """
+    assert qcfg.enabled and qcfg.group_size == 0 and qcfg.sym
+    b, nh, hd = q.shape
+    g, hpg = b_k.shape[0], b_k.shape[1]
+    s_max = xk_codes.shape[3]
+    half = hd // 2
+    W = hpg * half
+    nrk = packed_nrows(rk, qcfg.bits)
+    nrv = packed_nrows(rv, qcfg.bits)
+    assert xk_codes.shape[2] == nrk and xv_codes.shape[2] == nrv
+    assert xk_scale.shape == (b, g, s_max) and xv_scale.shape == (b, g, s_max)
+    assert s_max % block_s == 0
+    nblk = s_max // block_s
+
+    # B^T halves: (G, W, rk) so the reconstruct dot is (W, rk) @ (rk, BS)
+    bg = b_k.reshape(g, hpg, rk, 2, half)
+    b1t = jnp.moveaxis(bg[:, :, :, 0, :], 2, 3).reshape(g, W, rk)
+    b2t = jnp.moveaxis(bg[:, :, :, 1, :], 2, 3).reshape(g, W, rk)
+
+    cos_t, sin_t, inv_freq = _rel_tables_t(
+        block_s, half, hpg, theta, inv_freq_static, rope_scale)
+
+    # Offset-rotated query lanes: A1/A2 (B, nblk, W, G), tiny
+    qf = q.astype(jnp.float32) / np.sqrt(hd)
+    qg = qf.reshape(b, g, hpg, 2, half)
+    q1 = qg[:, :, :, 0, :].reshape(b, g, W)
+    q2 = qg[:, :, :, 1, :].reshape(b, g, W)
+    ang0 = (np.arange(nblk, dtype=np.float64) * block_s)[:, None] * inv_freq[None, :]
+    c0 = jnp.asarray(np.tile(np.cos(ang0), (1, hpg)), jnp.float32)  # (nblk, W)
+    s0 = jnp.asarray(np.tile(np.sin(ang0), (1, hpg)), jnp.float32)
+    q1t = jnp.moveaxis(q1, 1, 2)[:, None]  # (B, 1, W, G)
+    q2t = jnp.moveaxis(q2, 1, 2)[:, None]
+    a1 = q1t * c0[None, :, :, None] + q2t * s0[None, :, :, None]
+    a2 = q2t * c0[None, :, :, None] - q1t * s0[None, :, :, None]
+
+    seg = jnp.asarray(_seg_pair(hpg, half, np.float32))
+
+    kernel = _make_kernel4(
+        block_s=block_s, g=g, hpg=hpg, half=half,
+        sliding_window=sliding_window, bits=qcfg.bits, rk=rk, rv=rv,
+        compute_dtype=compute_dtype,
+    )
+
+    grid = (b, nblk)
+    try:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    except TypeError:  # older pallas versions
+        compiler_params = None
+
+    nhp = max(nh, 8)
+    out = pl.pallas_call(
+        kernel,
+        compiler_params=compiler_params,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((None, None, W, g), lambda bi, si, *_: (bi, si, 0, 0)),
+                pl.BlockSpec((None, None, W, g), lambda bi, si, *_: (bi, si, 0, 0)),
+                pl.BlockSpec((g, W, rk), lambda bi, si, *_: (0, 0, 0)),
+                pl.BlockSpec((g, W, rk), lambda bi, si, *_: (0, 0, 0)),
+                pl.BlockSpec((2 * hpg, 2 * W), lambda bi, si, *_: (0, 0)),
+                pl.BlockSpec((W, block_s), lambda bi, si, *_: (0, 0)),
+                pl.BlockSpec((W, block_s), lambda bi, si, *_: (0, 0)),
+                pl.BlockSpec((None, g, nrk, block_s),
+                             lambda bi, si, *_: (bi, 0, 0, si)),
+                pl.BlockSpec((None, g, block_s), lambda bi, si, *_: (bi, 0, si)),
+                pl.BlockSpec((None, g, nrv, block_s),
+                             lambda bi, si, *_: (bi, 0, 0, si)),
+                pl.BlockSpec((None, g, block_s), lambda bi, si, *_: (bi, 0, si)),
+            ],
+            out_specs=pl.BlockSpec(
+                (None, g, hpg, rv), lambda bi, si, *_: (bi, 0, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((nhp, 128), jnp.float32),
+                pltpu.VMEM((nhp, 128), jnp.float32),
+                pltpu.VMEM((g, hpg, rv), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, g, hpg, rv), jnp.float32),
+        interpret=interpret,
+    )(
+        kvl_ := jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,)),
+        a1, a2, b1t, b2t, seg,
+        jnp.asarray(cos_t), jnp.asarray(sin_t),
+        xk_codes, xk_scale.astype(jnp.float32),
+        xv_codes, xv_scale.astype(jnp.float32),
+    )
+    return out.reshape(b, nh, rv)

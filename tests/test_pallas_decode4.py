@@ -1,0 +1,111 @@
+"""v4 fused-decode kernel (transposed formulation, symmetric codes) vs the
+XLA reference on affine-dequantized latents (interpret mode on CPU; the
+same kernel compiles on TPU -- converged on-chip numbers in docs/BENCH.md)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from palu_tpu.core.quant import QuantConfig
+from palu_tpu.core import quant as quant_mod
+from palu_tpu.ops import attention as att_ops
+from palu_tpu.ops.pallas.palu_decode4 import palu_flash_decode4_quantized
+
+
+def _setup(b=1, g=2, hpg=4, rk=32, rv=64, hd=128, s_max=256, kv_len=200, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((b, g * hpg, hd)).astype(np.float32)
+    b_k = rng.standard_normal((g, hpg, rk, hd)).astype(np.float32) * 0.1
+    x_k = rng.standard_normal((b, g, s_max, rk)).astype(np.float32)
+    x_v = rng.standard_normal((b, g, s_max, rv)).astype(np.float32)
+    return (
+        jnp.asarray(q),
+        jnp.asarray(b_k),
+        jnp.asarray(x_k),
+        jnp.asarray(x_v),
+        jnp.full((b,), kv_len, jnp.int32),
+    )
+
+
+def _xla_reference(q, b_k, x_k, x_v, kv_len, chunk=64, sliding_window=None,
+                   theta=10000.0, inv_freq=None, rope_scale=1.0):
+    s_max = x_k.shape[2]
+    return att_ops.flash_decode_latent(
+        q,
+        lambda idx: jax.lax.dynamic_slice_in_dim(x_k, idx * chunk, chunk, axis=2),
+        lambda idx: jax.lax.dynamic_slice_in_dim(x_v, idx * chunk, chunk, axis=2),
+        b_k,
+        s_max // chunk,
+        chunk,
+        kv_len,
+        q.shape[-1],
+        theta,
+        x_v.shape[-1],
+        sliding_window,
+        inv_freq=inv_freq,
+        rope_scale=rope_scale,
+    )
+
+
+def _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, rk, rv, **kw):
+    qcfg = QuantConfig(bits=bits, group_size=0, sym=True)
+    kc, ks, kz = quant_mod.quantize_affine(x_k, qcfg)
+    vc, vs, vz = quant_mod.quantize_affine(x_v, qcfg)
+    x_k_dq = kc.astype(jnp.float32) * ks + kz
+    x_v_dq = vc.astype(jnp.float32) * vs + vz
+    out = palu_flash_decode4_quantized(
+        q, b_k,
+        quant_mod.pack_codes_t(kc, bits), ks[..., 0],
+        quant_mod.pack_codes_t(vc, bits), vs[..., 0],
+        kvl, qcfg=qcfg, rk=rk, rv=rv, block_s=64, interpret=True,
+        compute_dtype=jnp.float32, **kw,
+    )
+    return np.asarray(out), x_k_dq, x_v_dq
+
+
+@pytest.mark.parametrize("bits", [8, 4, 3, 2])
+@pytest.mark.parametrize("kv_len", [200, 256, 1])
+def test_v4_quantized_matches_dequant_xla(bits, kv_len):
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=kv_len)
+    out, x_k_dq, x_v_dq = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64)
+    ref = np.asarray(_xla_reference(q, b_k, x_k_dq, x_v_dq, kvl))
+    assert out.shape == ref.shape
+    assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
+
+
+def test_v4_odd_group_count_fallback():
+    """g odd exercises the per-group (non-pair) segment-dot branch."""
+    q, b_k, x_k, x_v, kvl = _setup(g=3, kv_len=180)
+    out, x_k_dq, x_v_dq = _quantize_and_run(q, b_k, x_k, x_v, kvl, 4, 32, 64)
+    ref = np.asarray(_xla_reference(q, b_k, x_k_dq, x_v_dq, kvl))
+    assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
+
+
+def test_v4_sliding_window_and_batch():
+    q, b_k, x_k, x_v, kvl = _setup(b=2, kv_len=100)
+    out, x_k_dq, x_v_dq = _quantize_and_run(
+        q, b_k, x_k, x_v, kvl, 4, 32, 64, sliding_window=50)
+    ref = np.asarray(
+        _xla_reference(q, b_k, x_k_dq, x_v_dq, kvl, sliding_window=50))
+    assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
+
+
+def test_v4_rope_scaling_static():
+    from palu_tpu.models import rope as rope_mod
+    from palu_tpu.models.config import ModelConfig
+
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=200)
+    cfg = ModelConfig(rope_scaling={"rope_type": "linear", "factor": 2.0},
+                      num_attention_heads=8, num_key_value_heads=8,
+                      hidden_size=1024)
+    inv_freq, scale = rope_mod.inv_freq_and_scale(cfg)
+    out, x_k_dq, x_v_dq = _quantize_and_run(
+        q, b_k, x_k, x_v, kvl, 4, 32, 64,
+        inv_freq_static=tuple(float(f) for f in inv_freq),
+        rope_scale=float(scale),
+    )
+    ref = np.asarray(_xla_reference(
+        q, b_k, x_k_dq, x_v_dq, kvl, inv_freq=inv_freq, rope_scale=scale))
+    assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()

@@ -25,6 +25,7 @@ from palu_tpu.core.quant import QuantConfig
 from palu_tpu.ops.pallas.palu_decode import palu_flash_decode, palu_flash_decode_quantized
 from palu_tpu.ops.pallas.palu_decode2 import palu_flash_decode2, palu_flash_decode2_quantized
 from palu_tpu.ops.pallas.palu_decode3 import palu_flash_decode3_quantized, sz_pack
+from palu_tpu.ops.pallas.palu_decode4 import palu_flash_decode4_quantized
 from palu_tpu.ops import attention as att_ops
 
 seq = int(os.environ.get("SEQ", 65536))
@@ -96,6 +97,17 @@ def make_fn(variant):
             block_s=block_s))
         args = (b_k, qm.pack_codes_t(kc, bits), sz_pack(kss[..., 0], kz[..., 0]),
                 qm.pack_codes_t(vc, bits), sz_pack(vss[..., 0], vz[..., 0]), kvl)
+        sol = sol_bf16 * (bits / 16 + 0.02)
+    elif variant.startswith("v4q"):
+        bits = int(variant[3:])
+        qc = QuantConfig(bits=bits, group_size=0, sym=True)
+        kc, kss, kz = qm.quantize_affine(x_k, qc)
+        vc, vss, vz = qm.quantize_affine(x_v, qc)
+        fn = jax.jit(functools.partial(
+            palu_flash_decode4_quantized, qcfg=qc, rk=rk, rv=rv,
+            block_s=block_s))
+        args = (b_k, qm.pack_codes_t(kc, bits), kss[..., 0],
+                qm.pack_codes_t(vc, bits), vss[..., 0], kvl)
         sol = sol_bf16 * (bits / 16 + 0.02)
     elif variant == "xla":
         # pure-XLA lax.scan flash decode over the latent cache (the dense
