@@ -48,10 +48,7 @@ def bench_attention_module(
 
     from palu_tpu.core import quant as quant_mod
     from palu_tpu.core.quant import QuantConfig
-    from palu_tpu.ops.pallas.palu_decode import (
-        palu_flash_decode,
-        palu_flash_decode_quantized,
-    )
+    from palu_tpu.ops.pallas.palu_decode import palu_flash_decode
 
     interp = jax.default_backend() != "tpu"  # CPU smoke runs use interpret mode
 
@@ -96,9 +93,12 @@ def bench_attention_module(
 
     palu_jit = jax.jit(palu_step, donate_argnums=(1, 2))
 
-    # ---- palu quantized steps: project -> quantize+pack -> fused dequant ----
+    # ---- palu quantized steps (v4 transposed kernel, symmetric rank-major
+    # cache): project -> quantize+pack new column -> fused dequant decode ----
+    from palu_tpu.ops.pallas.palu_decode4 import palu_flash_decode4_quantized
+
     def make_quant_step(qcfg, q_block_s):
-        def palu_q_step(x, kc, ks, kb_, vc, vs, vb_, pos):
+        def palu_q_step(x, kc, ks, vc, vs, pos):
             q = (x @ wq).reshape(1, num_heads, head_dim)
             half = head_dim // 2
             inv = 1.0 / (10000.0 ** (jnp.arange(half, dtype=jnp.float32) * 2 / head_dim))
@@ -110,22 +110,22 @@ def bench_attention_module(
             q = (qf * cos2 + rot * sin2).astype(bf)
             lat_k = (x @ vt_k).reshape(1, g, 1, rk)
             lat_v = (x @ vt_v).reshape(1, g, 1, rv)
-            ck, sk_, bk_ = quant_mod.quantize(lat_k, qcfg)
-            cv, sv_, bv_ = quant_mod.quantize(lat_v, qcfg)
-            kc = jax.lax.dynamic_update_slice(kc, quant_mod.pack_codes(ck, qcfg.bits), (0, 0, pos, 0))
-            ks = jax.lax.dynamic_update_slice(ks, sk_, (0, 0, pos, 0))
-            kb_ = jax.lax.dynamic_update_slice(kb_, bk_, (0, 0, pos, 0))
-            vc = jax.lax.dynamic_update_slice(vc, quant_mod.pack_codes(cv, qcfg.bits), (0, 0, pos, 0))
-            vs = jax.lax.dynamic_update_slice(vs, sv_, (0, 0, pos, 0))
-            vb_ = jax.lax.dynamic_update_slice(vb_, bv_, (0, 0, pos, 0))
-            out = palu_flash_decode_quantized(
-                q, b_k, kc, ks, kb_, vc, vs, vb_, pos + 1,
+            ck, sk_, _zk = quant_mod.quantize_affine(lat_k, qcfg)
+            cv, sv_, _zv = quant_mod.quantize_affine(lat_v, qcfg)
+            kc = jax.lax.dynamic_update_slice(
+                kc, quant_mod.pack_codes_t(ck, qcfg.bits), (0, 0, 0, pos))
+            ks = jax.lax.dynamic_update_slice(ks, sk_[..., 0], (0, 0, pos))
+            vc = jax.lax.dynamic_update_slice(
+                vc, quant_mod.pack_codes_t(cv, qcfg.bits), (0, 0, 0, pos))
+            vs = jax.lax.dynamic_update_slice(vs, sv_[..., 0], (0, 0, pos))
+            out = palu_flash_decode4_quantized(
+                q, b_k, kc, ks, vc, vs, pos + 1,
                 qcfg=qcfg, rk=rk, rv=rv, block_s=q_block_s, interpret=interp,
             )
             y = out.astype(bf).reshape(1, num_heads * rv) @ wo_fused
-            return y, kc, ks, kb_, vc, vs, vb_
+            return y, kc, ks, vc, vs
 
-        return jax.jit(palu_q_step, donate_argnums=(1, 2, 3, 4, 5, 6))
+        return jax.jit(palu_q_step, donate_argnums=(1, 2, 3, 4))
 
     # ---- dense step: project -> rope -> append KV -> flash decode -> o ----
     def dense_step(x, kc, vc, pos):
@@ -209,20 +209,18 @@ def bench_attention_module(
     palu_ms = run(palu_jit, [xk0, xv0])
     log(f"# palu TPOT: {palu_ms:.3f} ms", file=sys.stderr)
 
-    from palu_tpu.core.quant import packed_nbytes
+    from palu_tpu.core.quant import packed_nrows
 
     quant_ms = {}
-    for bits, q_block in ((4, block_s), (3, block_s // 2)):
+    for bits in (4, 3):
         log(f"# compiling palu {bits}-bit step...", file=sys.stderr)
-        qcfg_b = QuantConfig(bits=bits, group_size=0)
-        step_jit = make_quant_step(qcfg_b, q_block)
-        kc0 = jnp.zeros((1, g, s_max, packed_nbytes(rk, bits)), jnp.uint8)
-        ks0 = jnp.zeros((1, g, s_max, 1), jnp.float32)
-        kb0 = jnp.zeros((1, g, s_max, 1), jnp.float32)
-        vc0 = jnp.zeros((1, g, s_max, packed_nbytes(rv, bits)), jnp.uint8)
-        vs0 = jnp.zeros((1, g, s_max, 1), jnp.float32)
-        vb0 = jnp.zeros((1, g, s_max, 1), jnp.float32)
-        quant_ms[bits] = run(step_jit, [kc0, ks0, kb0, vc0, vs0, vb0])
+        qcfg_b = QuantConfig(bits=bits, group_size=0, sym=True)
+        step_jit = make_quant_step(qcfg_b, block_s)
+        kc0 = jnp.zeros((1, g, packed_nrows(rk, bits), s_max), jnp.uint8)
+        ks0 = jnp.zeros((1, g, s_max), jnp.float32)
+        vc0 = jnp.zeros((1, g, packed_nrows(rv, bits), s_max), jnp.uint8)
+        vs0 = jnp.zeros((1, g, s_max), jnp.float32)
+        quant_ms[bits] = run(step_jit, [kc0, ks0, vc0, vs0])
         log(f"# palu {bits}-bit TPOT: {quant_ms[bits]:.3f} ms", file=sys.stderr)
 
     log("# compiling dense step...", file=sys.stderr)
@@ -248,8 +246,9 @@ def main():
     best_ms = min(palu_ms, *quant_ms.values())
     result = {
         "metric": "palu latent-KV attention decode tokens/s at 64K prompt, best of "
-                  "bf16/4-bit/3-bit cache (rank_k 1024, rank_v 3072, gs 4, 1 chip; "
-                  "vs_baseline = speedup over dense bf16-KV flash decode)",
+                  "bf16/4-bit/3-bit cache (sym-quantized v4 kernel; rank_k 1024, "
+                  "rank_v 3072, gs 4, 1 chip; vs_baseline = speedup over dense "
+                  "bf16-KV flash decode)",
         "value": round(1000.0 / best_ms, 2),
         "unit": "tokens/s",
         "vs_baseline": round(dense_ms / best_ms, 3),

@@ -14,6 +14,15 @@ Layouts (per layer, ragged ranks across layers allowed):
 Quantized variant stores uint8-packed codes + per-token scales/base produced
 by palu_tpu.core.quant (2/3/4-bit; the reference only fake-quants and lists
 real packed caching as future work, README.md:24).
+
+Two quantized layouts exist:
+  - seq-major (default): codes (B, G, S, nbytes) + scales/base (B, G, S, n),
+    consumed by the v1 fused kernel and the XLA fallback;
+  - rank-major (symmetric per-row quantization only): codes_t
+    (B, G, rows, S) + scale_t (B, G, 1, S), the layout the v4 transposed
+    kernel streams directly (palu_decode4.py).  Keys ending in "_t" carry
+    the sequence on their LAST axis; the write/slice helpers here dispatch
+    on that convention so engine code stays layout-agnostic.
 """
 
 from __future__ import annotations
@@ -26,7 +35,24 @@ import jax.numpy as jnp
 from ..core import quant
 from ..models.config import ModelConfig
 
-__all__ = ["init_cache", "cache_nbytes", "write_prefill", "write_token"]
+__all__ = [
+    "init_cache", "cache_nbytes", "write_prefill", "write_token",
+    "rank_major", "seq_slice",
+]
+
+
+def rank_major(qcfg: Optional[quant.QuantConfig]) -> bool:
+    """True when the cache uses the rank-major packed layout (the v4
+    transposed kernel's native layout): symmetric per-row quantization."""
+    return (
+        qcfg is not None and qcfg.enabled and qcfg.sym and qcfg.group_size == 0
+    )
+
+
+def _seq_axis(key: str, ndim: int) -> int:
+    """Sequence axis of a buffer leaf: last for rank-major ("_t") keys,
+    third-from-last otherwise (works pre- and post-vmap over batch)."""
+    return ndim - 1 if key.endswith("_t") else ndim - 2
 
 
 def _layer_buffers(
@@ -39,6 +65,12 @@ def _layer_buffers(
 ):
     if qcfg is None or not qcfg.enabled:
         return {"lat": jnp.zeros((batch, groups, s_max, rank), dtype)}
+    if rank_major(qcfg):
+        nrows = quant.packed_nrows(rank, qcfg.bits)
+        return {
+            "codes_t": jnp.zeros((batch, groups, nrows, s_max), jnp.uint8),
+            "scale_t": jnp.zeros((batch, groups, 1, s_max), jnp.float32),
+        }
     nbytes = quant.packed_nbytes(rank, qcfg.bits)
     n_scale = rank // qcfg.group_size if qcfg.group_size > 0 else 1
     return {
@@ -88,9 +120,16 @@ def cache_nbytes(cache: Dict[str, Any]) -> int:
 
 
 def _encode(latents: jax.Array, qcfg: Optional[quant.QuantConfig], dtype):
-    """latents (B, G, S, r) -> buffer update dict."""
+    """latents (B, G, S, r) -> buffer update dict (layout-matched)."""
     if qcfg is None or not qcfg.enabled:
         return {"lat": latents.astype(dtype)}
+    if rank_major(qcfg):
+        codes, scales, _zeros = quant.quantize_affine(latents, qcfg)
+        # scales (B, G, S, 1) -> (B, G, 1, S): sequence on the last axis
+        return {
+            "codes_t": quant.pack_codes_t(codes, qcfg.bits),
+            "scale_t": jnp.swapaxes(scales.astype(jnp.float32), -1, -2),
+        }
     codes, scales, base = quant.quantize(latents, qcfg)
     packed = quant.pack_codes(codes, qcfg.bits)
     return {
@@ -110,8 +149,36 @@ def decode_latents(
     packed). The Pallas decode kernel fuses this; this is the XLA fallback."""
     if qcfg is None or not qcfg.enabled:
         return buf["lat"].astype(dtype)
+    if "codes_t" in buf:
+        codes = quant.unpack_codes_t(buf["codes_t"], qcfg.bits, rank)
+        qoff = 2 ** (qcfg.bits - 1)
+        lat = (codes.astype(jnp.float32) - qoff) * buf["scale_t"]
+        return jnp.swapaxes(lat, -1, -2).astype(dtype)
     codes = quant.unpack_codes(buf["codes"], qcfg.bits, rank)
     return quant.dequantize(codes, buf["scales"], buf["base"], qcfg, dtype=dtype)
+
+
+def seq_slice(buf: Dict[str, jax.Array], start, size: int,
+              dynamic: bool = True) -> Dict[str, jax.Array]:
+    """Slice `size` positions from each leaf's sequence axis at `start`
+    (layout-aware; `dynamic` uses lax.dynamic_slice_in_dim for traced
+    starts, else basic indexing)."""
+    out = {}
+    for k, a in buf.items():
+        ax = _seq_axis(k, a.ndim)
+        if dynamic:
+            out[k] = jax.lax.dynamic_slice_in_dim(a, start, size, axis=ax)
+        else:
+            idx = [slice(None)] * a.ndim
+            idx[ax] = slice(start, start + size)
+            out[k] = a[tuple(idx)]
+    return out
+
+
+def _starts(key: str, ndim: int, pos) -> tuple:
+    s = [0] * ndim
+    s[_seq_axis(key, ndim)] = pos
+    return tuple(s)
 
 
 def write_at(
@@ -120,12 +187,10 @@ def write_at(
     pos: jax.Array,
 ) -> Dict[str, jax.Array]:
     """Write `update` (B, G, S_new, ...) into each buffer at seq offset pos."""
-    out = {}
-    for k, u in update.items():
-        out[k] = jax.lax.dynamic_update_slice(
-            buf[k], u, (0, 0, pos, 0)
-        )
-    return out
+    return {
+        k: jax.lax.dynamic_update_slice(buf[k], u, _starts(k, u.ndim, pos))
+        for k, u in update.items()
+    }
 
 
 def write_at_lanes(
@@ -135,10 +200,13 @@ def write_at_lanes(
 ) -> Dict[str, jax.Array]:
     """Per-lane write: update (B, G, S_new, ...) lands at each lane's own
     offset (continuous batching: lanes hold different-length requests)."""
-    def one(b_buf, b_upd, p):
-        return jax.lax.dynamic_update_slice(b_buf, b_upd, (0, p, 0))
+    def one(key):
+        def fn(b_buf, b_upd, p):
+            return jax.lax.dynamic_update_slice(
+                b_buf, b_upd, _starts(key, b_upd.ndim, p))
+        return fn
 
-    return {k: jax.vmap(one)(buf[k], update[k], pos) for k in update}
+    return {k: jax.vmap(one(k))(buf[k], update[k], pos) for k in update}
 
 
 def write_at_lanes_masked(
@@ -153,13 +221,16 @@ def write_at_lanes_masked(
     decode step. Costs one (G, S_new, r) read per buffer -- negligible next
     to the attention pass."""
 
-    def one(b_buf, b_upd, p, m):
-        cur = jax.lax.dynamic_slice(b_buf, (0, p, 0), b_upd.shape)
-        return jax.lax.dynamic_update_slice(
-            b_buf, jnp.where(m, b_upd, cur), (0, p, 0)
-        )
+    def one(key):
+        def fn(b_buf, b_upd, p, m):
+            starts = _starts(key, b_upd.ndim, p)
+            cur = jax.lax.dynamic_slice(b_buf, starts, b_upd.shape)
+            return jax.lax.dynamic_update_slice(
+                b_buf, jnp.where(m, b_upd, cur), starts
+            )
+        return fn
 
-    return {k: jax.vmap(one)(buf[k], update[k], pos, mask) for k in update}
+    return {k: jax.vmap(one(k))(buf[k], update[k], pos, mask) for k in update}
 
 
 def write_prefill(buf, latents, qcfg, dtype, pos):

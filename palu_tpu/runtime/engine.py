@@ -204,7 +204,7 @@ class Engine:
                 entry["k"] = cache_lib.write_prefill(entry["k"], lat, ecfg.qcfg, ecfg.dtype, 0)
                 rk = lat.shape[-1]
                 lat_q = cache_lib.decode_latents(
-                    jax.tree.map(lambda a: a[:, :, :s], entry["k"]),
+                    cache_lib.seq_slice(entry["k"], 0, s, dynamic=False),
                     ecfg.qcfg, rk, ecfg.dtype,
                 ).transpose(0, 2, 1, 3)
                 k = llama.reconstruct_kv(lat_q, attn["k_proj"]).reshape(b, s, nkv, hd)
@@ -220,7 +220,7 @@ class Engine:
                 entry["v"] = cache_lib.write_prefill(entry["v"], lat, ecfg.qcfg, ecfg.dtype, 0)
                 rv = lat.shape[-1]
                 lat_q = cache_lib.decode_latents(
-                    jax.tree.map(lambda a: a[:, :, :s], entry["v"]),
+                    cache_lib.seq_slice(entry["v"], 0, s, dynamic=False),
                     ecfg.qcfg, rv, ecfg.dtype,
                 ).transpose(0, 2, 1, 3)
                 v = llama.reconstruct_kv(lat_q, attn["v_proj"]).reshape(b, s, nkv, hd)
@@ -283,10 +283,7 @@ class Engine:
 
             def read(side, rank):
                 def fn(idx):
-                    buf = jax.tree.map(
-                        lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk, axis=2),
-                        entry[side],
-                    )
+                    buf = cache_lib.seq_slice(entry[side], idx * chunk, chunk)
                     return cache_lib.decode_latents(buf, ecfg.qcfg, rank, ecfg.dtype)
                 return fn
 
@@ -475,16 +472,35 @@ class Engine:
             # models use the XLA path below; the v2 kernel handles scaled
             # rope and will replace this dispatch)
             from ..ops.pallas import palu_decode as pk
+            from ..ops.pallas import palu_decode4 as pk4
 
+            use_v4 = cache_lib.rank_major(ecfg.qcfg)
             block_s = self._chunk
-            if ecfg.qcfg is not None and ecfg.qcfg.enabled:
-                # dequant temporaries are VMEM-hungry; keep blocks small
-                # (while remaining a divisor of s_max)
+            if ecfg.qcfg is not None and ecfg.qcfg.enabled and not use_v4:
+                # the v1 kernel's dequant temporaries are VMEM-hungry; keep
+                # blocks small (while remaining a divisor of s_max). The v4
+                # transposed kernel runs full blocks.
                 want = min(block_s, max(128, block_s // 4))
                 while block_s > want or ecfg.s_max % block_s:
                     block_s -= 1
 
             def kernel_call(q_, b_k_, k_bufs, v_bufs, kv_len_):
+                if use_v4:
+                    g_ = k_bufs["scale_t"].shape[1]
+                    s_max_ = k_bufs["scale_t"].shape[3]
+                    return pk4.palu_flash_decode4_quantized(
+                        q_, b_k_,
+                        k_bufs["codes_t"],
+                        k_bufs["scale_t"].reshape(-1, g_, s_max_),
+                        v_bufs["codes_t"],
+                        v_bufs["scale_t"].reshape(-1, g_, s_max_),
+                        kv_len_,
+                        qcfg=ecfg.qcfg, rk=rk, rv=rv, block_s=block_s,
+                        theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
+                        interpret=ecfg.pallas_interpret,
+                        inv_freq_static=self._inv_freq_static,
+                        rope_scale=self._rope_scale,
+                    )
                 if ecfg.qcfg is not None and ecfg.qcfg.enabled:
                     return pk.palu_flash_decode_quantized(
                         q_, b_k_,
@@ -542,17 +558,11 @@ class Engine:
             return out
 
         def read_k(idx):
-            buf = jax.tree.map(
-                lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk, axis=2),
-                entry["k"],
-            )
+            buf = cache_lib.seq_slice(entry["k"], idx * chunk, chunk)
             return cache_lib.decode_latents(buf, ecfg.qcfg, rk, ecfg.dtype)
 
         def read_v(idx):
-            buf = jax.tree.map(
-                lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk, axis=2),
-                entry["v"],
-            )
+            buf = cache_lib.seq_slice(entry["v"], idx * chunk, chunk)
             return cache_lib.decode_latents(buf, ecfg.qcfg, rv, ecfg.dtype)
 
         lat_out = att_ops.flash_decode_latent(
