@@ -48,8 +48,6 @@ def bench_attention_module(
 
     from palu_tpu.core import quant as quant_mod
     from palu_tpu.core.quant import QuantConfig
-    from palu_tpu.ops.pallas.palu_decode import palu_flash_decode
-
     interp = jax.default_backend() != "tpu"  # CPU smoke runs use interpret mode
 
     g = num_heads // group_size
@@ -70,7 +68,10 @@ def bench_attention_module(
     wv_dense = jnp.asarray(rng.standard_normal((hidden, hidden)) * 0.02, bf)
     wo_dense = jnp.asarray(rng.standard_normal((hidden, hidden)) * 0.02, bf)
 
-    # ---- palu step: project -> append latents -> fused kernel -> o_fused ----
+    # ---- palu step: project -> append latents (rank-major) -> fused v4
+    # transposed kernel -> o_fused ----
+    from palu_tpu.ops.pallas.palu_decode4 import palu_flash_decode4
+
     def palu_step(x, xk, xv, pos):
         q = (x @ wq).reshape(1, num_heads, head_dim)
         # rope on q at pos
@@ -83,11 +84,12 @@ def bench_attention_module(
         qf = q.astype(jnp.float32)
         rot = jnp.concatenate([-qf[..., half:], qf[..., :half]], axis=-1)
         q = (qf * cos2 + rot * sin2).astype(bf)
-        lat_k = (x @ vt_k).reshape(1, g, 1, rk)
-        lat_v = (x @ vt_v).reshape(1, g, 1, rv)
-        xk = jax.lax.dynamic_update_slice(xk, lat_k, (0, 0, pos, 0))
-        xv = jax.lax.dynamic_update_slice(xv, lat_v, (0, 0, pos, 0))
-        out = palu_flash_decode(q, b_k, xk, xv, pos + 1, block_s=block_s, interpret=interp)
+        lat_k = (x @ vt_k).reshape(1, g, rk, 1)
+        lat_v = (x @ vt_v).reshape(1, g, rv, 1)
+        xk = jax.lax.dynamic_update_slice(xk, lat_k, (0, 0, 0, pos))
+        xv = jax.lax.dynamic_update_slice(xv, lat_v, (0, 0, 0, pos))
+        out = palu_flash_decode4(q, b_k, xk, xv, pos + 1, rk=rk, rv=rv,
+                                 block_s=block_s, interpret=interp)
         y = out.astype(bf).reshape(1, num_heads * rv) @ wo_fused
         return y, xk, xv
 
@@ -204,8 +206,8 @@ def bench_attention_module(
         return float((time.perf_counter() - t0) / n_steps * 1e3)
 
     log(f"# compiling palu step (s_max={s_max})...", file=sys.stderr)
-    xk0 = jnp.zeros((1, g, s_max, rk), bf)
-    xv0 = jnp.zeros((1, g, s_max, rv), bf)
+    xk0 = jnp.zeros((1, g, rk, s_max), bf)
+    xv0 = jnp.zeros((1, g, rv, s_max), bf)
     palu_ms = run(palu_jit, [xk0, xv0])
     log(f"# palu TPOT: {palu_ms:.3f} ms", file=sys.stderr)
 

@@ -71,13 +71,13 @@ def _unpack_rank_major(codes_ref_block, bits: int, rank: int, cdt):
         parts = [((c >> (bits * k)) & mask) for k in range(s)]
         return jnp.concatenate(parts, axis=0).astype(cdt)
     if bits == 3:
-        r = rank // 8
-        b0, b1, b2 = c[0 * r : 1 * r], c[1 * r : 2 * r], c[2 * r : 3 * r]
-        parts = []
-        for k in range(8):
-            f = ((b0 >> k) & 1) | (((b1 >> k) & 1) << 1) | (((b2 >> k) & 1) << 2)
-            parts.append(f)
-        return jnp.concatenate(parts, axis=0).astype(cdt)
+        rl = rank // 4
+        lo_rows, hi_rows = c[:rl], c[rl : rl + rank // 8]
+        lo = jnp.concatenate(
+            [((lo_rows >> (2 * k)) & 3) for k in range(4)], axis=0)
+        hi = jnp.concatenate(
+            [((hi_rows >> k) & 1) for k in range(8)], axis=0)
+        return (lo | (hi << 2)).astype(cdt)
     if bits == 8:
         return c.astype(cdt)
     raise ValueError(f"unsupported bits: {bits}")

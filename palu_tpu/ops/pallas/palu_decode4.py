@@ -58,7 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...core.quant import QuantConfig, packed_nrows
 
-__all__ = ["palu_flash_decode4_quantized"]
+__all__ = ["palu_flash_decode4_quantized", "palu_flash_decode4"]
 
 
 def _unpack_rank_major_t(codes_ref_block, bits: int, rank: int, qoff: int, cdt):
@@ -71,13 +71,13 @@ def _unpack_rank_major_t(codes_ref_block, bits: int, rank: int, qoff: int, cdt):
         parts = [(((c >> (bits * k)) & mask) - qoff) for k in range(s)]
         return jnp.concatenate(parts, axis=0).astype(cdt)
     if bits == 3:
-        r = rank // 8
-        b0, b1, b2 = c[0 * r : 1 * r], c[1 * r : 2 * r], c[2 * r : 3 * r]
-        parts = []
-        for k in range(8):
-            f = ((b0 >> k) & 1) | (((b1 >> k) & 1) << 1) | (((b2 >> k) & 1) << 2)
-            parts.append(f - qoff)
-        return jnp.concatenate(parts, axis=0).astype(cdt)
+        rl = rank // 4
+        lo_rows, hi_rows = c[:rl], c[rl : rl + rank // 8]
+        lo = jnp.concatenate(
+            [((lo_rows >> (2 * k)) & 3) for k in range(4)], axis=0)
+        hi = jnp.concatenate(
+            [((hi_rows >> k) & 1) for k in range(8)], axis=0)
+        return ((lo - qoff) + (hi << 2)).astype(cdt)
     if bits == 8:
         return (c - qoff).astype(cdt)
     raise ValueError(f"unsupported bits: {bits}")
@@ -117,15 +117,23 @@ def _make_kernel4(
     hpg: int,
     half: int,
     sliding_window: Optional[int],
-    bits: int,
+    bits: Optional[int],
     rk: int,
     rv: int,
     compute_dtype=jnp.bfloat16,
 ):
+    """bits=None builds the fp (bf16 rank-major latents, no scales) variant;
+    the cache refs then hold latent rows directly instead of packed codes,
+    and xk_s/xv_s are ignored dummy (g, BS) refs."""
     cdt = compute_dtype
     nh = g * hpg
-    qoff = 2 ** (bits - 1)
+    qoff = 2 ** (bits - 1) if bits is not None else 0
     pair = g % 2 == 0
+
+    def _rows(ref_block, rank):
+        if bits is None:
+            return ref_block.astype(cdt)
+        return _unpack_rank_major_t(ref_block, bits, rank, qoff, cdt)
 
     def kernel(kv_len_ref, a1_ref, a2_ref, b1t_ref, b2t_ref, seg_ref,
                cos_ref, sin_ref, xk_codes, xk_s, xv_codes, xv_s,
@@ -154,19 +162,30 @@ def _make_kernel4(
 
         def k_path(gi):
             """t (W, BS) in compute dtype: roped-K logit contributions per
-            lane, before segment summation and per-token scaling."""
+            lane, before segment summation and per-token scaling.
+
+            The query (offset-rotated lanes a1/a2) is folded into the
+            reconstruct OPERAND -- bq1 = a1*B1^T + a2*B2^T, a tiny (W, rk)
+            elementwise build -- so the post-dot rotation is just
+            cos*u + sin*v instead of building two (W, BS) ca tables:
+              u = bq1 @ ck = a1*xb1 + a2*xb2
+              v = bq2 @ ck = a2*xb1 - a1*xb2
+              cos*u + sin*v = xb1*(cos*a1 + sin*a2) + xb2*(cos*a2 - sin*a1)
+            which is exactly the roped logit contribution."""
             a1 = a1_ref[:, gi : gi + 1]  # (W, 1) offset-rotated query lanes
             a2 = a2_ref[:, gi : gi + 1]
-            ca1 = cos * a1 + sin * a2  # (W, BS)
-            ca2 = cos * a2 - sin * a1
-            ck = _unpack_rank_major_t(xk_codes[gi], bits, rk, qoff, cdt)
-            xb1 = jax.lax.dot_general(
-                b1t_ref[gi].astype(cdt), ck, (((1,), (0,)), ((), ())),
+            b1g = b1t_ref[gi].astype(jnp.float32)
+            b2g = b2t_ref[gi].astype(jnp.float32)
+            bq1 = (a1 * b1g + a2 * b2g).astype(cdt)  # (W, rk)
+            bq2 = (a2 * b1g - a1 * b2g).astype(cdt)
+            ck = _rows(xk_codes[gi], rk)
+            u = jax.lax.dot_general(
+                bq1, ck, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (W, BS)
-            xb2 = jax.lax.dot_general(
-                b2t_ref[gi].astype(cdt), ck, (((1,), (0,)), ((), ())),
+            v = jax.lax.dot_general(
+                bq2, ck, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            return (xb1 * ca1 + xb2 * ca2).astype(cdt)
+            return (u * cos + v * sin).astype(cdt)
 
         # ---- K path: per-pair segment dot -> (2*hpg, BS), tile-aligned ----
         parts = []
@@ -175,16 +194,20 @@ def _make_kernel4(
                 t2 = jnp.concatenate([k_path(gj), k_path(gj + 1)], axis=0)
                 lg2 = jnp.dot(seg_ref[...].astype(cdt), t2,
                               preferred_element_type=jnp.float32)  # (2hpg, BS)
-                sc = jnp.concatenate(
-                    [jnp.broadcast_to(ks_rows[gj + m : gj + m + 1, :],
-                                      (hpg, block_s)) for m in range(2)],
-                    axis=0)
-                parts.append(lg2 * sc)
+                if bits is None:
+                    parts.append(lg2)
+                else:
+                    sc = jnp.concatenate(
+                        [jnp.broadcast_to(ks_rows[gj + m : gj + m + 1, :],
+                                          (hpg, block_s)) for m in range(2)],
+                        axis=0)
+                    parts.append(lg2 * sc)
         else:
             for gi in range(g):
                 lg = jnp.dot(seg_ref[0:hpg, 0 : hpg * half].astype(cdt),
                              k_path(gi), preferred_element_type=jnp.float32)
-                parts.append(lg * ks_rows[gi : gi + 1, :])
+                parts.append(lg if bits is None
+                             else lg * ks_rows[gi : gi + 1, :])
         logits = jnp.concatenate(parts, axis=0)  # (nh, BS); 1/sqrt(hd) in q
         logits = jnp.where(valid, logits, -1e30)
 
@@ -199,9 +222,12 @@ def _make_kernel4(
 
         # ---- V path: (hpg, BS) @ (rv, BS)^T, contraction over seq lanes ----
         for gi in range(g):
-            cv = _unpack_rank_major_t(xv_codes[gi], bits, rv, qoff, cdt)
+            cv = _rows(xv_codes[gi], rv)
             p_g = p[gi * hpg : (gi + 1) * hpg, :]
-            ps = (p_g * vs_rows[gi : gi + 1, :]).astype(cdt)
+            if bits is None:
+                ps = p_g.astype(cdt)
+            else:
+                ps = (p_g * vs_rows[gi : gi + 1, :]).astype(cdt)
             pv = jax.lax.dot_general(
                 ps, cv, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (hpg, rv)
@@ -219,50 +245,19 @@ def _make_kernel4(
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window",
-                     "interpret", "compute_dtype", "inv_freq_static",
-                     "rope_scale"),
-)
-def palu_flash_decode4_quantized(
-    q: jax.Array,  # (B, nh, hd)
-    b_k: jax.Array,  # (G, hpg, rk, hd)
-    xk_codes: jax.Array,  # (B, G, packed_nrows(rk), S_max) uint8 rank-major
-    xk_scale: jax.Array,  # (B, G, S_max) f32 per-token scales
-    xv_codes: jax.Array,  # (B, G, packed_nrows(rv), S_max) uint8
-    xv_scale: jax.Array,  # (B, G, S_max) f32
-    kv_len: jax.Array,
-    *,
-    qcfg: QuantConfig,
-    rk: int,
-    rv: int,
-    block_s: int = 1024,
-    theta: float = 10000.0,
-    sliding_window: Optional[int] = None,
-    interpret: bool = False,
-    compute_dtype=jnp.bfloat16,
-    inv_freq_static=None,
-    rope_scale: float = 1.0,
-) -> jax.Array:
-    """Decode attention over a SYMMETRICALLY quantized rank-major latent
-    cache -> (B, nh, rv) latent-space output.
-
-    Codes are the unsigned `quantize_affine` codes of a sym QuantConfig
-    (zero-point == q_min * scale identically), so dequant inside the kernel
-    is `scale * (code - 2^(bits-1))`.  See the module docstring for the
-    transposed design; numerics are differentially tested against
-    palu_flash_decode2_quantized in tests/test_kernels.py.
-    """
-    assert qcfg.enabled and qcfg.group_size == 0 and qcfg.sym
+def _call4(
+    q, b_k, xk_rows, xk_scale, xv_rows, xv_scale, kv_len,
+    *, bits, rk, rv, block_s, theta, sliding_window, interpret,
+    compute_dtype, inv_freq_static, rope_scale,
+):
     b, nh, hd = q.shape
     g, hpg = b_k.shape[0], b_k.shape[1]
-    s_max = xk_codes.shape[3]
+    s_max = xk_rows.shape[3]
     half = hd // 2
     W = hpg * half
-    nrk = packed_nrows(rk, qcfg.bits)
-    nrv = packed_nrows(rv, qcfg.bits)
-    assert xk_codes.shape[2] == nrk and xv_codes.shape[2] == nrv
+    nrk = packed_nrows(rk, bits) if bits is not None else rk
+    nrv = packed_nrows(rv, bits) if bits is not None else rv
+    assert xk_rows.shape[2] == nrk and xv_rows.shape[2] == nrv
     assert xk_scale.shape == (b, g, s_max) and xv_scale.shape == (b, g, s_max)
     assert s_max % block_s == 0
     nblk = s_max // block_s
@@ -292,7 +287,7 @@ def palu_flash_decode4_quantized(
 
     kernel = _make_kernel4(
         block_s=block_s, g=g, hpg=hpg, half=half,
-        sliding_window=sliding_window, bits=qcfg.bits, rk=rk, rv=rv,
+        sliding_window=sliding_window, bits=bits, rk=rk, rv=rv,
         compute_dtype=compute_dtype,
     )
 
@@ -336,10 +331,94 @@ def palu_flash_decode4_quantized(
         out_shape=jax.ShapeDtypeStruct((b, g, hpg, rv), jnp.float32),
         interpret=interpret,
     )(
-        kvl_ := jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,)),
+        jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,)),
         a1, a2, b1t, b2t, seg,
         jnp.asarray(cos_t), jnp.asarray(sin_t),
-        xk_codes, xk_scale.astype(jnp.float32),
-        xv_codes, xv_scale.astype(jnp.float32),
+        xk_rows, xk_scale.astype(jnp.float32),
+        xv_rows, xv_scale.astype(jnp.float32),
     )
     return out.reshape(b, nh, rv)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window",
+                     "interpret", "compute_dtype", "inv_freq_static",
+                     "rope_scale"),
+)
+def palu_flash_decode4_quantized(
+    q: jax.Array,  # (B, nh, hd)
+    b_k: jax.Array,  # (G, hpg, rk, hd)
+    xk_codes: jax.Array,  # (B, G, packed_nrows(rk), S_max) uint8 rank-major
+    xk_scale: jax.Array,  # (B, G, S_max) f32 per-token scales
+    xv_codes: jax.Array,  # (B, G, packed_nrows(rv), S_max) uint8
+    xv_scale: jax.Array,  # (B, G, S_max) f32
+    kv_len: jax.Array,
+    *,
+    qcfg: QuantConfig,
+    rk: int,
+    rv: int,
+    block_s: int = 1024,
+    theta: float = 10000.0,
+    sliding_window: Optional[int] = None,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    inv_freq_static=None,
+    rope_scale: float = 1.0,
+) -> jax.Array:
+    """Decode attention over a SYMMETRICALLY quantized rank-major latent
+    cache -> (B, nh, rv) latent-space output.
+
+    Codes are the unsigned `quantize_affine` codes of a sym QuantConfig
+    (zero-point == q_min * scale identically), so dequant inside the kernel
+    is `scale * (code - 2^(bits-1))`.  See the module docstring for the
+    transposed design; numerics are differentially tested against the XLA
+    dequant reference in tests/test_pallas_decode4.py.
+    """
+    assert qcfg.enabled and qcfg.group_size == 0 and qcfg.sym
+    return _call4(
+        q, b_k, xk_codes, xk_scale, xv_codes, xv_scale, kv_len,
+        bits=qcfg.bits, rk=rk, rv=rv, block_s=block_s, theta=theta,
+        sliding_window=sliding_window, interpret=interpret,
+        compute_dtype=compute_dtype, inv_freq_static=inv_freq_static,
+        rope_scale=rope_scale,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rk", "rv", "block_s", "theta", "sliding_window",
+                     "interpret", "compute_dtype", "inv_freq_static",
+                     "rope_scale"),
+)
+def palu_flash_decode4(
+    q: jax.Array,  # (B, nh, hd)
+    b_k: jax.Array,  # (G, hpg, rk, hd)
+    xk_t: jax.Array,  # (B, G, rk, S_max) rank-major latents (bf16)
+    xv_t: jax.Array,  # (B, G, rv, S_max)
+    kv_len: jax.Array,
+    *,
+    rk: int,
+    rv: int,
+    block_s: int = 1024,
+    theta: float = 10000.0,
+    sliding_window: Optional[int] = None,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    inv_freq_static=None,
+    rope_scale: float = 1.0,
+) -> jax.Array:
+    """Transposed-formulation decode over an UNQUANTIZED rank-major latent
+    cache -> (B, nh, rv).  Same kernel as the quantized variant with the
+    unpack and per-token scaling compiled out; the cache streams straight
+    into the (W, rk) @ (rk, BS) reconstruct dots."""
+    b, g = xk_t.shape[0], xk_t.shape[1]
+    s_max = xk_t.shape[3]
+    dummy = jnp.zeros((b, g, s_max), jnp.float32)
+    return _call4(
+        q, b_k, xk_t, dummy, xv_t, dummy, kv_len,
+        bits=None, rk=rk, rv=rv, block_s=block_s, theta=theta,
+        sliding_window=sliding_window, interpret=interpret,
+        compute_dtype=compute_dtype, inv_freq_static=inv_freq_static,
+        rope_scale=rope_scale,
+    )

@@ -62,8 +62,11 @@ def _layer_buffers(
     rank: int,
     dtype,
     qcfg: Optional[quant.QuantConfig],
+    rank_major_fp: bool = False,
 ):
     if qcfg is None or not qcfg.enabled:
+        if rank_major_fp:
+            return {"lat_t": jnp.zeros((batch, groups, rank, s_max), dtype)}
         return {"lat": jnp.zeros((batch, groups, s_max, rank), dtype)}
     if rank_major(qcfg):
         nrows = quant.packed_nrows(rank, qcfg.bits)
@@ -86,9 +89,11 @@ def init_cache(
     s_max: int,
     dtype=jnp.bfloat16,
     qcfg: Optional[quant.QuantConfig] = None,
+    rank_major_fp: bool = False,
 ) -> Dict[str, Any]:
     """Build the cache pytree. Layers without low-rank k/v fall back to dense
-    KV buffers (B, n_kv, S_max, head_dim)."""
+    KV buffers (B, n_kv, S_max, head_dim); those always stay seq-major
+    (they hold roped full K/V, which no transposed kernel consumes)."""
     g = cfg.num_kv_groups
     layers = []
     for i in range(cfg.num_hidden_layers):
@@ -100,13 +105,15 @@ def init_cache(
                 "lat": jnp.zeros((batch, cfg.num_key_value_heads, s_max, cfg.head_dim), dtype)
             }
         else:
-            entry["k"] = _layer_buffers(batch, g, s_max, rk, dtype, qcfg)
+            entry["k"] = _layer_buffers(batch, g, s_max, rk, dtype, qcfg,
+                                        rank_major_fp)
         if rv is None:
             entry["v"] = {
                 "lat": jnp.zeros((batch, cfg.num_key_value_heads, s_max, cfg.head_dim), dtype)
             }
         else:
-            entry["v"] = _layer_buffers(batch, g, s_max, rv, dtype, qcfg)
+            entry["v"] = _layer_buffers(batch, g, s_max, rv, dtype, qcfg,
+                                        rank_major_fp)
         layers.append(entry)
     return {"layers": layers, "length": jnp.zeros((batch,), jnp.int32)}
 
@@ -119,9 +126,12 @@ def cache_nbytes(cache: Dict[str, Any]) -> int:
     return total
 
 
-def _encode(latents: jax.Array, qcfg: Optional[quant.QuantConfig], dtype):
+def _encode(latents: jax.Array, qcfg: Optional[quant.QuantConfig], dtype,
+            rank_major_fp: bool = False):
     """latents (B, G, S, r) -> buffer update dict (layout-matched)."""
     if qcfg is None or not qcfg.enabled:
+        if rank_major_fp:
+            return {"lat_t": jnp.swapaxes(latents.astype(dtype), -1, -2)}
         return {"lat": latents.astype(dtype)}
     if rank_major(qcfg):
         codes, scales, _zeros = quant.quantize_affine(latents, qcfg)
@@ -148,6 +158,8 @@ def decode_latents(
     """Read back latents (B, G, S, r) from a layer buffer (dequantizing if
     packed). The Pallas decode kernel fuses this; this is the XLA fallback."""
     if qcfg is None or not qcfg.enabled:
+        if "lat_t" in buf:
+            return jnp.swapaxes(buf["lat_t"], -1, -2).astype(dtype)
         return buf["lat"].astype(dtype)
     if "codes_t" in buf:
         codes = quant.unpack_codes_t(buf["codes_t"], qcfg.bits, rank)
@@ -233,10 +245,10 @@ def write_at_lanes_masked(
     return {k: jax.vmap(one(k))(buf[k], update[k], pos, mask) for k in update}
 
 
-def write_prefill(buf, latents, qcfg, dtype, pos):
+def write_prefill(buf, latents, qcfg, dtype, pos, rank_major_fp: bool = False):
     """latents (B, G, S, r) written at offset pos; returns new layer buffer.
     Pass qcfg=None for dense (uncompressed) buffers."""
-    upd = _encode(latents, qcfg, dtype)
+    upd = _encode(latents, qcfg, dtype, rank_major_fp)
     return write_at(buf, upd, pos)
 
 

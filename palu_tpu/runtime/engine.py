@@ -43,6 +43,11 @@ class EngineConfig:
     decode_chunk: int = 512
     use_pallas: bool = False  # fused Pallas decode kernel (TPU)
     pallas_interpret: bool = False  # interpret mode (CPU tests)
+    # store unquantized latents rank-major (B, G, r, S) so the v4 transposed
+    # kernel streams them directly (857us vs 1191us at the 64K headline
+    # point, docs/BENCH.md); excluded when seq_axis is set (the seq-sharded
+    # combine consumes (B, G, S, r))
+    rank_major_fp: bool = False
     mesh: Any = None  # jax.sharding.Mesh for shard_map'd kernels (TP decode)
     # name of a mesh axis sharding the latent cache along the sequence dim;
     # decode then runs the flash-decoding seq-parallel combine
@@ -89,6 +94,11 @@ class Engine:
         while ecfg.s_max % chunk:
             chunk -= 1
         self._chunk = chunk
+        if ecfg.rank_major_fp and ecfg.seq_axis is not None:
+            raise ValueError(
+                "rank_major_fp and seq_axis are mutually exclusive: the "
+                "seq-sharded combine consumes seq-major (B, G, S, r) latents"
+            )
         # rope_scaling (models/rope.py): default schedule -> None (kernels
         # compute in-kernel from theta); scaled -> baked-in constants
         from ..models import rope as rope_mod
@@ -157,6 +167,7 @@ class Engine:
             self.ecfg.s_max,
             dtype=self.ecfg.dtype,
             qcfg=self.ecfg.qcfg,
+            rank_major_fp=self.ecfg.rank_major_fp,
         )
 
     # -- prefill -------------------------------------------------------------
@@ -201,7 +212,7 @@ class Engine:
                 k = k_roped.astype(ecfg.dtype)
             else:
                 lat = k_raw.transpose(0, 2, 1, 3)  # (B, G, S, rk)
-                entry["k"] = cache_lib.write_prefill(entry["k"], lat, ecfg.qcfg, ecfg.dtype, 0)
+                entry["k"] = cache_lib.write_prefill(entry["k"], lat, ecfg.qcfg, ecfg.dtype, 0, ecfg.rank_major_fp)
                 rk = lat.shape[-1]
                 lat_q = cache_lib.decode_latents(
                     cache_lib.seq_slice(entry["k"], 0, s, dynamic=False),
@@ -217,7 +228,7 @@ class Engine:
                 )
             else:
                 lat = v_raw.transpose(0, 2, 1, 3)
-                entry["v"] = cache_lib.write_prefill(entry["v"], lat, ecfg.qcfg, ecfg.dtype, 0)
+                entry["v"] = cache_lib.write_prefill(entry["v"], lat, ecfg.qcfg, ecfg.dtype, 0, ecfg.rank_major_fp)
                 rv = lat.shape[-1]
                 lat_q = cache_lib.decode_latents(
                     cache_lib.seq_slice(entry["v"], 0, s, dynamic=False),
@@ -271,11 +282,11 @@ class Engine:
             entry = dict(entry)
             lat_k = llama.project_kv(h, attn["k_proj"]).transpose(0, 2, 1, 3)
             entry["k"] = cache_lib.write_at_lanes(
-                entry["k"], cache_lib._encode(lat_k, ecfg.qcfg, ecfg.dtype), offset
+                entry["k"], cache_lib._encode(lat_k, ecfg.qcfg, ecfg.dtype, ecfg.rank_major_fp), offset
             )
             lat_v = llama.project_kv(h, attn["v_proj"]).transpose(0, 2, 1, 3)
             entry["v"] = cache_lib.write_at_lanes(
-                entry["v"], cache_lib._encode(lat_v, ecfg.qcfg, ecfg.dtype), offset
+                entry["v"], cache_lib._encode(lat_v, ecfg.qcfg, ecfg.dtype, ecfg.rank_major_fp), offset
             )
 
             rk = attn["k_proj"]["U"].shape[1]
@@ -399,7 +410,7 @@ class Engine:
             else:
                 lat = k_raw.transpose(0, 2, 1, 3)
                 entry["k"] = cache_lib.write_at_lanes_masked(
-                    entry["k"], cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype),
+                    entry["k"], cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype, ecfg.rank_major_fp),
                     pos_w, writeable,
                 )
             if v_dense:
@@ -410,7 +421,7 @@ class Engine:
             else:
                 lat = v_raw.transpose(0, 2, 1, 3)
                 entry["v"] = cache_lib.write_at_lanes_masked(
-                    entry["v"], cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype),
+                    entry["v"], cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype, ecfg.rank_major_fp),
                     pos_w, writeable,
                 )
 
@@ -446,6 +457,7 @@ class Engine:
             ecfg.seq_axis is not None
             and ecfg.mesh is not None
             and not quantized
+            and not ecfg.rank_major_fp
             and "k_bias" not in der
         ):
             # sequence-parallel decode: each seq shard computes partial flash
@@ -485,6 +497,15 @@ class Engine:
                     block_s -= 1
 
             def kernel_call(q_, b_k_, k_bufs, v_bufs, kv_len_):
+                if ecfg.rank_major_fp and not quantized:
+                    return pk4.palu_flash_decode4(
+                        q_, b_k_, k_bufs["lat_t"], v_bufs["lat_t"], kv_len_,
+                        rk=rk, rv=rv, block_s=block_s,
+                        theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
+                        interpret=ecfg.pallas_interpret,
+                        inv_freq_static=self._inv_freq_static,
+                        rope_scale=self._rope_scale,
+                    )
                 if use_v4:
                     g_ = k_bufs["scale_t"].shape[1]
                     s_max_ = k_bufs["scale_t"].shape[3]

@@ -275,3 +275,19 @@ def test_engine_pallas_path_matches_xla(bits, sym):
     s1 = _stepwise_logits(e_xla, ids)
     s2 = _stepwise_logits(e_pal, ids)
     assert np.allclose(s1, s2, atol=3e-3), np.abs(s1 - s2).max()
+
+
+def test_engine_rank_major_fp_matches_xla():
+    """rank_major_fp (v4 fp transposed kernel + lat_t cache) == the default
+    seq-major XLA engine."""
+    params, cfg = _lowrank_model(seed=23, rank=16, gs=2)
+    ids = np.random.default_rng(23).integers(0, cfg.vocab_size, (1, 12))
+    e_xla = Engine(params, cfg, EngineConfig(s_max=16, dtype=jnp.float32,
+                                             decode_chunk=8))
+    e_rm = Engine(params, cfg, EngineConfig(s_max=16, dtype=jnp.float32,
+                                            decode_chunk=8, use_pallas=True,
+                                            pallas_interpret=True,
+                                            rank_major_fp=True))
+    s1 = _stepwise_logits(e_xla, ids)
+    s2 = _stepwise_logits(e_rm, ids)
+    assert np.allclose(s1, s2, atol=3e-3), np.abs(s1 - s2).max()

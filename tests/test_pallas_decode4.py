@@ -75,6 +75,20 @@ def test_v4_quantized_matches_dequant_xla(bits, kv_len):
     assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
 
 
+@pytest.mark.parametrize("kv_len", [200, 256, 1])
+def test_v4_fp_matches_xla(kv_len):
+    """Unquantized rank-major variant (palu_flash_decode4) == XLA reference."""
+    from palu_tpu.ops.pallas.palu_decode4 import palu_flash_decode4
+
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=kv_len)
+    ref = np.asarray(_xla_reference(q, b_k, x_k, x_v, kvl))
+    out = np.asarray(palu_flash_decode4(
+        q, b_k, jnp.swapaxes(x_k, 2, 3), jnp.swapaxes(x_v, 2, 3), kvl,
+        rk=32, rv=64, block_s=64, interpret=True,
+        compute_dtype=jnp.float32))
+    assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
+
+
 def test_v4_odd_group_count_fallback():
     """g odd exercises the per-group (non-pair) segment-dot branch."""
     q, b_k, x_k, x_v, kvl = _setup(g=3, kv_len=180)

@@ -25,7 +25,10 @@ from palu_tpu.core.quant import QuantConfig
 from palu_tpu.ops.pallas.palu_decode import palu_flash_decode, palu_flash_decode_quantized
 from palu_tpu.ops.pallas.palu_decode2 import palu_flash_decode2, palu_flash_decode2_quantized
 from palu_tpu.ops.pallas.palu_decode3 import palu_flash_decode3_quantized, sz_pack
-from palu_tpu.ops.pallas.palu_decode4 import palu_flash_decode4_quantized
+from palu_tpu.ops.pallas.palu_decode4 import (
+    palu_flash_decode4,
+    palu_flash_decode4_quantized,
+)
 from palu_tpu.ops import attention as att_ops
 
 seq = int(os.environ.get("SEQ", 65536))
@@ -109,6 +112,11 @@ def make_fn(variant):
         args = (b_k, qm.pack_codes_t(kc, bits), kss[..., 0],
                 qm.pack_codes_t(vc, bits), vss[..., 0], kvl)
         sol = sol_bf16 * (bits / 16 + 0.02)
+    elif variant == "v4":
+        fn = jax.jit(functools.partial(
+            palu_flash_decode4, rk=rk, rv=rv, block_s=block_s))
+        args = (b_k, jnp.swapaxes(x_k, 2, 3), jnp.swapaxes(x_v, 2, 3), kvl)
+        sol = sol_bf16
     elif variant == "xla":
         # pure-XLA lax.scan flash decode over the latent cache (the dense
         # baseline at its own SoL is also XLA-scan -- does XLA pipeline
