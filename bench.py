@@ -200,10 +200,13 @@ def bench_attention_module(
         chained_jit = jax.jit(chained, donate_argnums=(1,))
         x_out, bufs = chained_jit(x0, bufs)  # compile + warmup run
         _ = np.asarray(x_out[0, :1])  # fetch: block_until_ready can ack
-        t0 = time.perf_counter()      # before compute on tunneled backends
-        x_out, bufs = chained_jit(x_out, bufs)
-        _ = np.asarray(x_out[0, :1])
-        return float((time.perf_counter() - t0) / n_steps * 1e3)
+        best = float("inf")           # before compute on tunneled backends
+        for _rep in range(3):         # 3 reps, min: clocks ramp over ~100ms
+            t0 = time.perf_counter()  # so rep 1 runs on a cold chip after
+            x_out, bufs = chained_jit(x_out, bufs)  # the compile gap
+            _ = np.asarray(x_out[0, :1])
+            best = min(best, time.perf_counter() - t0)
+        return float(best / n_steps * 1e3)
 
     log(f"# compiling palu step (s_max={s_max})...", file=sys.stderr)
     xk0 = jnp.zeros((1, g, rk, s_max), bf)

@@ -151,15 +151,17 @@ def test_seq_sharded_decode_matches_single():
         np.asarray(single) - np.asarray(sharded)).max()
 
 
-def test_serving_sharded_quantized_matches_unsharded():
+@pytest.mark.parametrize("sym", [False, True])
+def test_serving_sharded_quantized_matches_unsharded(sym):
     """ServingEngine composed with the mesh (TP params, (data, model)-sharded
     lane cache, shard_map Pallas decode, quantized latents) produces the
     same tokens as the unsharded serving engine -- VERDICT round-1: serving
-    and parallelism existed only as disconnected pieces."""
+    and parallelism existed only as disconnected pieces. sym=True runs the
+    v4 rank-major cache through the same composition."""
     from palu_tpu.runtime.serving import ServingEngine
 
     params, cfg = _model(seed=3)
-    qcfg = QuantConfig(bits=4, group_size=0)
+    qcfg = QuantConfig(bits=4, group_size=0, sym=sym)
     rng = np.random.default_rng(3)
     prompts = [rng.integers(0, cfg.vocab_size, (n,)) for n in (5, 7, 4)]
 

@@ -13,7 +13,7 @@ bf16 KV cache at 64K would need ~25 GB for the cache ALONE -- the dense
 baseline therefore runs at its largest feasible context instead, which is
 the Palu value proposition in one number.
 
-Variants: palu3 / palu4 (3/4-bit packed latent cache, fused-dequant v2
+Variants: palu3 / palu4 (3/4-bit packed latent cache, fused-dequant v4
 kernel) at SEQ (default 65536); dense at DENSE_SEQ (default 4096).
 
 Timing: N decode steps chained in one lax.scan executable, one host fetch
@@ -34,7 +34,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from palu_tpu.core import quant as qm
 from palu_tpu.core.quant import QuantConfig, packed_nrows
-from palu_tpu.ops.pallas.palu_decode2 import palu_flash_decode2_quantized
+from palu_tpu.ops.pallas.palu_decode4 import palu_flash_decode4_quantized
 
 L = int(os.environ.get("LAYERS", 24))
 SEQ = int(os.environ.get("SEQ", 65536))
@@ -97,7 +97,7 @@ def rope_q(q, pos):
 
 
 def build_palu(bits):
-    qc = QuantConfig(bits=bits, group_size=0)
+    qc = QuantConfig(bits=bits, group_size=0, sym=True)
     w = stacked_weights(jax.random.PRNGKey(0), dense_kv=False)
     s_max = (SEQ + STEPS + BLOCK_S) // BLOCK_S * BLOCK_S
     nrk, nrv = packed_nrows(RK, bits), packed_nrows(RV, bits)
@@ -110,14 +110,13 @@ def build_palu(bits):
         # irrelevant for timing; shapes/dtypes are what matter)
         def enc(k, r, nr):
             lat = jax.random.normal(k, (1, G, s_max, r), jnp.float32)
-            c, s, z = qm.quantize_affine(lat, qc)
+            c, s, _z = qm.quantize_affine(lat, qc)
             # leaves keep the (L, B=1, ...) layout; scan strips L per layer
             return (jnp.broadcast_to(qm.pack_codes_t(c, bits), (L, 1, G, nr, s_max)),
-                    jnp.broadcast_to(s[..., 0], (L, 1, G, s_max)),
-                    jnp.broadcast_to(z[..., 0], (L, 1, G, s_max)))
-        kc, kss, kz = enc(ks[0], RK, nrk)
-        vc, vs, vz = enc(ks[1], RV, nrv)
-        return dict(kc=kc, ks=kss, kz=kz, vc=vc, vs=vs, vz=vz)
+                    jnp.broadcast_to(s[..., 0], (L, 1, G, s_max)))
+        kc, kss = enc(ks[0], RK, nrk)
+        vc, vs = enc(ks[1], RV, nrv)
+        return dict(kc=kc, ks=kss, vc=vc, vs=vs)
 
     cache0 = seed_cache(key)
     # NOTE broadcast_to materializes on write; force independent buffers
@@ -133,8 +132,8 @@ def build_palu(bits):
             q = rope_q(q, pos)
             lat_k = (h @ wl["vt_k"]).reshape(1, G, 1, RK)
             lat_v = (h @ wl["vt_v"]).reshape(1, G, 1, RV)
-            kc2, ks2, kz2 = qm.quantize_affine(lat_k, qc)
-            vc2, vs2, vz2 = qm.quantize_affine(lat_v, qc)
+            kc2, ks2, _kz2 = qm.quantize_affine(lat_k, qc)
+            vc2, vs2, _vz2 = qm.quantize_affine(lat_v, qc)
             kcp = qm.pack_codes_t(kc2, bits)[:, :, :, 0]  # (1, G, nrk)
             vcp = qm.pack_codes_t(vc2, bits)[:, :, :, 0]
             p = pos[0]
@@ -142,13 +141,11 @@ def build_palu(bits):
                 "kc": jax.lax.dynamic_update_slice(cl["kc"], kcp[..., None], (0, 0, 0, p)),
                 "vc": jax.lax.dynamic_update_slice(cl["vc"], vcp[..., None], (0, 0, 0, p)),
                 "ks": jax.lax.dynamic_update_slice(cl["ks"], ks2[:, :, :, 0], (0, 0, p)),
-                "kz": jax.lax.dynamic_update_slice(cl["kz"], kz2[:, :, :, 0], (0, 0, p)),
                 "vs": jax.lax.dynamic_update_slice(cl["vs"], vs2[:, :, :, 0], (0, 0, p)),
-                "vz": jax.lax.dynamic_update_slice(cl["vz"], vz2[:, :, :, 0], (0, 0, p)),
             }
-            lat_out = palu_flash_decode2_quantized(
-                q, wl["b_k"], new_c["kc"], new_c["ks"], new_c["kz"],
-                new_c["vc"], new_c["vs"], new_c["vz"], pos + 1,
+            lat_out = palu_flash_decode4_quantized(
+                q, wl["b_k"], new_c["kc"], new_c["ks"],
+                new_c["vc"], new_c["vs"], pos + 1,
                 qcfg=qc, rk=RK, rv=RV, block_s=BLOCK_S, theta=THETA,
                 interpret=INTERP,
             )  # (1, NH, RV)
