@@ -320,9 +320,7 @@ class Engine:
         new_cache = {"layers": new_layers, "length": offset + s}
         return logits, new_cache
 
-    def prefill_chunked(self, input_ids, chunk_size: int = 512, cache=None):
-        """Stream a long prompt through fixed-size chunks. Returns
-        (last-token logits (B, 1, V), cache)."""
+    def _ensure_chunk_jits(self):
         if not hasattr(self, "_prefill_chunk_jit"):
             self._prefill_chunk_jit = jax.jit(
                 self._prefill_chunk_impl, donate_argnums=(1,)
@@ -332,6 +330,24 @@ class Engine:
             self._last_gather_jit = jax.jit(
                 lambda lg, i: jnp.take_along_axis(lg, i[:, None, None], axis=1)
             )
+
+    def prefill_chunk(self, ids_chunk, cache, off):
+        """Advance ONE fixed-size prefill chunk at sequence offset `off`
+        (the serving loop interleaves these with decode steps so a long
+        admission never stalls running requests). ids_chunk must already be
+        padded to the engine chunk size; pad positions are causally
+        invisible. Returns (chunk logits, cache) -- the caller tracks the
+        real length and fixes cache["length"] when the prompt completes."""
+        self._ensure_chunk_jits()
+        offset = jnp.broadcast_to(jnp.asarray(off, jnp.int32), (self.ecfg.batch,))
+        return self._prefill_chunk_jit(
+            self.params, cache, jnp.asarray(ids_chunk), offset
+        )
+
+    def prefill_chunked(self, input_ids, chunk_size: int = 512, cache=None):
+        """Stream a long prompt through fixed-size chunks. Returns
+        (last-token logits (B, 1, V), cache)."""
+        self._ensure_chunk_jits()
         input_ids = np.asarray(input_ids)
         b, total = input_ids.shape
         if b != self.ecfg.batch:

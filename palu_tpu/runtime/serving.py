@@ -235,8 +235,16 @@ class ServingEngine:
     program on every process.
     """
 
-    def __init__(self, params, cfg, ecfg: EngineConfig, prefer_native: bool = True):
+    def __init__(self, params, cfg, ecfg: EngineConfig, prefer_native: bool = True,
+                 prefill_chunks_per_step: Optional[int] = None):
+        """prefill_chunks_per_step: None = prefill whole prompts at admission
+        (lowest per-request latency when the queue is empty); an int K =
+        interleave at most K prefill chunks per decode step, so admitting a
+        long prompt never stalls the running lanes' token cadence (chunked
+        prefill, the continuous-batching norm)."""
         assert ecfg.batch >= 1
+        self.prefill_chunks_per_step = prefill_chunks_per_step
+        self._inflight: Dict[int, Dict] = {}  # rid -> partial-prefill state
         self.engine = Engine(params, cfg, ecfg)
         if ecfg.mesh is not None:
             from ..parallel import mesh as mesh_lib
@@ -308,6 +316,12 @@ class ServingEngine:
         # admission
         for rid, lane in self.sched.admit():
             prompt = self._prompts.pop(rid)
+            if self.prefill_chunks_per_step is not None:
+                self._inflight[rid] = {
+                    "lane": lane, "off": 0, "prompt": prompt, "logits": None,
+                    "cache": self.prefill_engine.init_cache(),
+                }
+                continue
             logits, single_cache = self.prefill_engine.prefill_auto(prompt)
             first_tok = int(np.asarray(jnp.argmax(logits[0, -1])))
             self.cache = self._insert(self.cache, single_cache, lane=base + lane)
@@ -317,25 +331,67 @@ class ServingEngine:
             if done:
                 continue
 
+        self._advance_prefills(base)
+
         active = self.sched.active()
         n_active = sum(1 for a in active if a != -1)
         if n_active == 0:
-            return 0
+            return 1 if self._inflight else 0
 
         # idle lanes decode too (static shapes) but the active mask freezes
-        # their length and makes their cache writes no-ops on device
+        # their length and makes their cache writes no-ops on device.
+        # Lanes still mid-prefill (inflight) are masked out: their lane cache
+        # is not inserted yet and they have no token to feed.
         mask = np.zeros((self.engine.ecfg.batch,), np.bool_)
-        mask[base : base + len(active)] = [a != -1 for a in active]
+        mask[base : base + len(active)] = [
+            a != -1 and a not in self._inflight for a in active
+        ]
         logits, self.cache = self.engine.decode(self.tokens, self.cache, active=mask)
         next_toks = np.asarray(jnp.argmax(logits[:, -1], axis=-1))
         for lane, rid in enumerate(active):
-            if rid == -1:
+            if rid == -1 or rid in self._inflight:
                 continue
             tok = int(next_toks[base + lane])
             self.outputs[rid].append(tok)
             self.tokens[base + lane, 0] = tok
             self.sched.on_token(lane, self._is_eos(tok))
         return n_active
+
+    def _advance_prefills(self, base: int) -> None:
+        """Advance each in-flight chunked prefill by up to
+        prefill_chunks_per_step chunks; insert completed prompts into their
+        lane and emit the first token."""
+        if not self._inflight:
+            return
+        chunk = self.prefill_engine._chunk
+        for rid in list(self._inflight):
+            st = self._inflight[rid]
+            total = st["prompt"].shape[1]
+            for _ in range(self.prefill_chunks_per_step):
+                end = min(st["off"] + chunk, total)
+                ids = st["prompt"][:, st["off"] : end]
+                if end - st["off"] < chunk:
+                    ids = np.pad(ids, ((0, 0), (0, chunk - (end - st["off"]))))
+                st["logits"], st["cache"] = self.prefill_engine.prefill_chunk(
+                    ids, st["cache"], st["off"]
+                )
+                st["off"] = end
+                if end >= total:
+                    break
+            if st["off"] < total:
+                continue
+            last = self.prefill_engine._last_gather_jit(
+                st["logits"], jnp.full((1,), (total - 1) % chunk, jnp.int32)
+            )
+            sc = dict(st["cache"])
+            sc["length"] = jnp.full((1,), total, jnp.int32)
+            first_tok = int(np.asarray(jnp.argmax(last[0, -1])))
+            lane = st["lane"]
+            self.cache = self._insert(self.cache, sc, lane=base + lane)
+            self.tokens[base + lane, 0] = first_tok
+            self.outputs[rid].append(first_tok)
+            self.sched.on_token(lane, self._is_eos(first_tok))
+            del self._inflight[rid]
 
     def _is_eos(self, tok: int) -> bool:
         return self.eos_token_id is not None and tok == self.eos_token_id

@@ -116,3 +116,30 @@ def test_serving_matches_sequential_generate(prefer_native):
     stats = serving.sched.stats()
     assert stats["finished"] == 3
     assert stats["tokens"] == sum(n_new.values())
+
+
+def test_serving_chunked_prefill_interleave_matches_default():
+    """prefill_chunks_per_step=1 (chunked-prefill interleaving: admissions
+    advance one chunk per decode step instead of stalling the running
+    lanes) must produce exactly the tokens of the prefill-at-admission
+    path."""
+    params, cfg = _model()
+    rng = np.random.default_rng(1)
+    prompts = {
+        20: rng.integers(1, cfg.vocab_size, (1, 17)),  # 3 chunks of 8
+        21: rng.integers(1, cfg.vocab_size, (1, 5)),
+        22: rng.integers(1, cfg.vocab_size, (1, 9)),   # waits for a lane
+    }
+    n_new = {20: 4, 21: 6, 22: 3}
+
+    def run(chunks_per_step):
+        ecfg = EngineConfig(s_max=32, batch=2, dtype=jnp.float32, decode_chunk=8)
+        srv = ServingEngine(params, cfg, ecfg, prefer_native=False,
+                            prefill_chunks_per_step=chunks_per_step)
+        for rid, p in prompts.items():
+            assert srv.submit(rid, p, n_new[rid])
+        return srv.run_until_done(max_steps=300)
+
+    ref = run(None)
+    out = run(1)
+    assert ref == out, (ref, out)
