@@ -1,7 +1,12 @@
 """Headline benchmark: Palu latent-KV decode vs dense-KV decode on one TPU
 chip, at the reference's canonical operating point (run_latency_attention.py
 README.md:117-121: 32 heads, head_dim 128, rank_k 1024, rank_v 3072, head
-group size 4, prompt 65536, bs 1, 100 timed decode steps).
+group size 4, prompt 65536, bs 1; 256 timed decode steps chained in one
+executable -- the reference times 100 CUDA-event reps on an already-hot GPU
+(run_latency_attention.py:98-105); on this tunneled TPU the chip ramps
+clocks over ~100ms of sustained load, so 100-step chains measure a
+half-ramped chip and 256 steps are needed for converged, variant-order-
+independent numbers; docs/BENCH.md "clock ramping").
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -39,7 +44,7 @@ def bench_attention_module(
     group_size=4,
     total_rank_k=1024,
     total_rank_v=3072,
-    n_steps=100,
+    n_steps=256,
     warmup=5,
     block_s=1024,
     log=print,
@@ -239,7 +244,7 @@ def bench_attention_module(
 def main():
     jax = _setup_jax()
     prompt_len = int(os.environ.get("BENCH_PROMPT_LEN", 65536))
-    n_steps = int(os.environ.get("BENCH_STEPS", 100))
+    n_steps = int(os.environ.get("BENCH_STEPS", 256))
 
     def log(*a, **k):
         print(*a, **k)

@@ -42,11 +42,11 @@ __all__ = [
 
 
 def rank_major(qcfg: Optional[quant.QuantConfig]) -> bool:
-    """True when the cache uses the rank-major packed layout (the v4
-    transposed kernel's native layout): symmetric per-row quantization."""
-    return (
-        qcfg is not None and qcfg.enabled and qcfg.sym and qcfg.group_size == 0
-    )
+    """True when the cache uses the rank-major packed layout: per-row
+    quantization (sym -> the v4 transposed kernel's native layout, no zero
+    row; asym -> the v2 kernel's layout with an extra zero row). Per-chunk
+    (group_size > 0) quantization keeps the seq-major layout + v1 kernel."""
+    return qcfg is not None and qcfg.enabled and qcfg.group_size == 0
 
 
 def _seq_axis(key: str, ndim: int) -> int:
@@ -70,10 +70,13 @@ def _layer_buffers(
         return {"lat": jnp.zeros((batch, groups, s_max, rank), dtype)}
     if rank_major(qcfg):
         nrows = quant.packed_nrows(rank, qcfg.bits)
-        return {
+        bufs = {
             "codes_t": jnp.zeros((batch, groups, nrows, s_max), jnp.uint8),
             "scale_t": jnp.zeros((batch, groups, 1, s_max), jnp.float32),
         }
+        if not qcfg.sym:
+            bufs["zero_t"] = jnp.zeros((batch, groups, 1, s_max), jnp.float32)
+        return bufs
     nbytes = quant.packed_nbytes(rank, qcfg.bits)
     n_scale = rank // qcfg.group_size if qcfg.group_size > 0 else 1
     return {
@@ -134,12 +137,15 @@ def _encode(latents: jax.Array, qcfg: Optional[quant.QuantConfig], dtype,
             return {"lat_t": jnp.swapaxes(latents.astype(dtype), -1, -2)}
         return {"lat": latents.astype(dtype)}
     if rank_major(qcfg):
-        codes, scales, _zeros = quant.quantize_affine(latents, qcfg)
+        codes, scales, zeros = quant.quantize_affine(latents, qcfg)
         # scales (B, G, S, 1) -> (B, G, 1, S): sequence on the last axis
-        return {
+        upd = {
             "codes_t": quant.pack_codes_t(codes, qcfg.bits),
             "scale_t": jnp.swapaxes(scales.astype(jnp.float32), -1, -2),
         }
+        if not qcfg.sym:
+            upd["zero_t"] = jnp.swapaxes(zeros.astype(jnp.float32), -1, -2)
+        return upd
     codes, scales, base = quant.quantize(latents, qcfg)
     packed = quant.pack_codes(codes, qcfg.bits)
     return {
@@ -163,8 +169,11 @@ def decode_latents(
         return buf["lat"].astype(dtype)
     if "codes_t" in buf:
         codes = quant.unpack_codes_t(buf["codes_t"], qcfg.bits, rank)
-        qoff = 2 ** (qcfg.bits - 1)
-        lat = (codes.astype(jnp.float32) - qoff) * buf["scale_t"]
+        if qcfg.sym:
+            qoff = 2 ** (qcfg.bits - 1)
+            lat = (codes.astype(jnp.float32) - qoff) * buf["scale_t"]
+        else:  # affine: x = scale * code + zero
+            lat = codes.astype(jnp.float32) * buf["scale_t"] + buf["zero_t"]
         return jnp.swapaxes(lat, -1, -2).astype(dtype)
     codes = quant.unpack_codes(buf["codes"], qcfg.bits, rank)
     return quant.dequantize(codes, buf["scales"], buf["base"], qcfg, dtype=dtype)

@@ -495,28 +495,47 @@ class Engine:
                 out = out + der["o_bias_corr"]
             return out
 
-        if ecfg.use_pallas and "k_bias" not in der and self._inv_freq_static is None:
-            # (models with k-projection bias -- qwen2 -- and scaled-rope
-            # models use the XLA path below; the v2 kernel handles scaled
-            # rope and will replace this dispatch)
+        rm = cache_lib.rank_major(ecfg.qcfg)
+        if (
+            ecfg.use_pallas
+            and "k_bias" not in der
+            and self._inv_freq_static is None
+            and (not quantized or rm)
+        ):
+            # Models with k-projection bias (qwen2), scaled-rope models, and
+            # per-chunk-quantized caches (group_size > 0 -- no fused kernel
+            # consumes per-chunk scales) use the XLA path below.
             from ..ops.pallas import palu_decode as pk
+            from ..ops.pallas import palu_decode2 as pk2
             from ..ops.pallas import palu_decode4 as pk4
 
-            use_v4 = cache_lib.rank_major(ecfg.qcfg)
+            use_v4 = rm and ecfg.qcfg.sym  # sym rank-major -> v4 transposed
+            use_v2 = rm and not ecfg.qcfg.sym  # asym rank-major -> v2
             block_s = self._chunk
-            if ecfg.qcfg is not None and ecfg.qcfg.enabled and not use_v4:
-                # the v1 kernel's dequant temporaries are VMEM-hungry; keep
-                # blocks small (while remaining a divisor of s_max). The v4
-                # transposed kernel runs full blocks.
-                want = min(block_s, max(128, block_s // 4))
-                while block_s > want or ecfg.s_max % block_s:
-                    block_s -= 1
 
             def kernel_call(q_, b_k_, k_bufs, v_bufs, kv_len_):
                 if ecfg.rank_major_fp and not quantized:
                     return pk4.palu_flash_decode4(
                         q_, b_k_, k_bufs["lat_t"], v_bufs["lat_t"], kv_len_,
                         rk=rk, rv=rv, block_s=block_s,
+                        theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
+                        interpret=ecfg.pallas_interpret,
+                        inv_freq_static=self._inv_freq_static,
+                        rope_scale=self._rope_scale,
+                    )
+                if use_v2:
+                    g_ = k_bufs["scale_t"].shape[1]
+                    s_max_ = k_bufs["scale_t"].shape[3]
+                    return pk2.palu_flash_decode2_quantized(
+                        q_, b_k_,
+                        k_bufs["codes_t"],
+                        k_bufs["scale_t"].reshape(-1, g_, s_max_),
+                        k_bufs["zero_t"].reshape(-1, g_, s_max_),
+                        v_bufs["codes_t"],
+                        v_bufs["scale_t"].reshape(-1, g_, s_max_),
+                        v_bufs["zero_t"].reshape(-1, g_, s_max_),
+                        kv_len_,
+                        qcfg=ecfg.qcfg, rk=rk, rv=rv, block_s=block_s,
                         theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
                         interpret=ecfg.pallas_interpret,
                         inv_freq_static=self._inv_freq_static,
@@ -531,18 +550,6 @@ class Engine:
                         k_bufs["scale_t"].reshape(-1, g_, s_max_),
                         v_bufs["codes_t"],
                         v_bufs["scale_t"].reshape(-1, g_, s_max_),
-                        kv_len_,
-                        qcfg=ecfg.qcfg, rk=rk, rv=rv, block_s=block_s,
-                        theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
-                        interpret=ecfg.pallas_interpret,
-                        inv_freq_static=self._inv_freq_static,
-                        rope_scale=self._rope_scale,
-                    )
-                if ecfg.qcfg is not None and ecfg.qcfg.enabled:
-                    return pk.palu_flash_decode_quantized(
-                        q_, b_k_,
-                        k_bufs["codes"], k_bufs["scales"], k_bufs["base"],
-                        v_bufs["codes"], v_bufs["scales"], v_bufs["base"],
                         kv_len_,
                         qcfg=ecfg.qcfg, rk=rk, rv=rv, block_s=block_s,
                         theta=cfg.rope_theta, sliding_window=cfg.sliding_window,

@@ -261,7 +261,7 @@ def test_ragged_ranks_across_layers():
 @pytest.mark.parametrize("bits,sym", [(16, False), (3, False), (3, True), (4, True)])
 def test_engine_pallas_path_matches_xla(bits, sym):
     """use_pallas (interpret) engine == XLA engine: fp cache, asym 3-bit
-    (v1 seq-major kernel), and sym 3/4-bit (v4 rank-major kernel)."""
+    (v2 rank-major kernel), and sym 3/4-bit (v4 rank-major kernel)."""
     params, cfg = _lowrank_model(seed=21, rank=16, gs=2)
     qcfg = QuantConfig(bits=bits, group_size=0, sym=sym) if bits < 16 else None
     ids = np.random.default_rng(21).integers(0, cfg.vocab_size, (1, 12))
@@ -290,4 +290,22 @@ def test_engine_rank_major_fp_matches_xla():
                                             rank_major_fp=True))
     s1 = _stepwise_logits(e_xla, ids)
     s2 = _stepwise_logits(e_rm, ids)
+    assert np.allclose(s1, s2, atol=3e-3), np.abs(s1 - s2).max()
+
+
+def test_engine_pallas_group_quant_falls_back_to_xla():
+    """group_size > 0 quantization has no fused kernel; use_pallas engines
+    must fall back to the XLA path instead of crashing (regression: the v1
+    kernel asserts group_size == 0)."""
+    params, cfg = _lowrank_model(seed=24, rank=16, gs=2)
+    qcfg = QuantConfig(bits=4, group_size=8)
+    ids = np.random.default_rng(24).integers(0, cfg.vocab_size, (1, 12))
+    e_xla = Engine(params, cfg, EngineConfig(s_max=16, dtype=jnp.float32,
+                                             qcfg=qcfg, decode_chunk=8))
+    e_pal = Engine(params, cfg, EngineConfig(s_max=16, dtype=jnp.float32,
+                                             qcfg=qcfg, decode_chunk=8,
+                                             use_pallas=True,
+                                             pallas_interpret=True))
+    s1 = _stepwise_logits(e_xla, ids)
+    s2 = _stepwise_logits(e_pal, ids)
     assert np.allclose(s1, s2, atol=3e-3), np.abs(s1 - s2).max()

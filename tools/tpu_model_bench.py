@@ -122,7 +122,7 @@ def build_palu(bits):
     # NOTE broadcast_to materializes on write; force independent buffers
     cache0 = jax.tree.map(jnp.asarray, cache0)
 
-    def step(x, cache, pos):
+    def step(x, cache, pos, w):
         """x (1, H) hidden state; one decode step through all layers."""
         def layer(carry, inp):
             x, = carry
@@ -159,18 +159,18 @@ def build_palu(bits):
         return x, new_cache
 
     @jax.jit
-    def run(x0, cache):
+    def run(x0, cache, wt):
         def body(carry, i):
             x, cache = carry
             pos = jnp.full((1,), SEQ + i, jnp.int32)
-            x, cache = step(x, cache, pos)
+            x, cache = step(x, cache, pos, wt)
             # feed output back in (data dependency chains the steps)
             return (x * jnp.bfloat16(0.125), cache), ()
         (x, cache), _ = jax.lax.scan(body, (x0, cache), jnp.arange(STEPS))
         return x
 
     x0 = jax.random.normal(jax.random.PRNGKey(2), (1, H), jnp.bfloat16) * 0.1
-    return run, x0, cache0
+    return run, x0, cache0, w
 
 
 def build_dense():
@@ -181,7 +181,7 @@ def build_dense():
     cache0 = {"k": k0, "v": v0}
     chunk = BLOCK_S
 
-    def step(x, cache, pos):
+    def step(x, cache, pos, w):
         def layer(carry, inp):
             x, = carry
             wl, cl = inp
@@ -226,30 +226,30 @@ def build_dense():
         return x, new_cache
 
     @jax.jit
-    def run(x0, cache):
+    def run(x0, cache, wt):
         def body(carry, i):
             x, cache = carry
             pos = jnp.full((1,), DENSE_SEQ + i, jnp.int32)
-            x, cache = step(x, cache, pos)
+            x, cache = step(x, cache, pos, wt)
             return (x * jnp.bfloat16(0.125), cache), ()
         (x, cache), _ = jax.lax.scan(body, (x0, cache), jnp.arange(STEPS))
         return x
 
     x0 = jax.random.normal(jax.random.PRNGKey(2), (1, H), jnp.bfloat16) * 0.1
-    return run, x0, cache0
+    return run, x0, cache0, w
 
 
 def time_variant(name, build):
-    run, x0, cache0 = build()
+    run, x0, cache0, w0 = build()
     log(f"# {name}: compiling...")
     t0 = time.time()
-    out = run(x0, cache0)
+    out = run(x0, cache0, w0)
     _ = np.asarray(out[0, :1])
     log(f"# {name}: compile+first {time.time()-t0:.0f}s")
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = run(x0, cache0)
+        out = run(x0, cache0, w0)
         _ = np.asarray(out[0, :1])
         ts.append((time.perf_counter() - t0) / STEPS)
     tpot = min(ts) * 1e3
