@@ -290,8 +290,9 @@ def flash_decode_latent_seq_sharded(
     shards. This is the SURVEY section-5 long-context design: per-block work
     is exactly the abx kernel body, the combine is one (m, l, o) reduction.
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    from palu_tpu.parallel.mesh import shard_map_nocheck
 
     n_shards = mesh.shape[axis]
     b, nh, hd = q.shape
@@ -327,10 +328,9 @@ def flash_decode_latent_seq_sharded(
         out = acc_g / l_g[..., None]
         return out.reshape(q_.shape[0], nh, rv)
 
-    return shard_map(
+    return shard_map_nocheck(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(None, None, axis, None), P(None, None, axis, None), P()),
         out_specs=P(),
-        check_rep=False,
     )(q, x_k, x_v, kv_len)

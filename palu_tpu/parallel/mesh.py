@@ -26,7 +26,23 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "param_shardings", "cache_shardings", "shard_tree"]
+__all__ = [
+    "make_mesh", "param_shardings", "cache_shardings", "shard_tree",
+    "shard_map_nocheck",
+]
+
+
+def shard_map_nocheck(f, *, mesh, in_specs, out_specs):
+    """`jax.shard_map` with the replication check disabled, spanning the
+    check_rep -> check_vma API rename (jax >= 0.9 uses check_vma)."""
+    import inspect
+
+    kw = {}
+    if "check_vma" in inspect.signature(jax.shard_map).parameters:
+        kw["check_vma"] = False
+    else:  # pragma: no cover - older jax
+        kw["check_rep"] = False
+    return jax.shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
 
 
 def make_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:

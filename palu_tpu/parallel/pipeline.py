@@ -85,7 +85,7 @@ def stage_sharded_forward(
     stacked = jax.tree.map(jax.device_put, stacked, stage_sharding)
     other = {k: v for k, v in params.items() if k != "layers"}
 
-    from jax.experimental.shard_map import shard_map
+    from palu_tpu.parallel.mesh import shard_map_nocheck
 
     def fn(xs: jax.Array) -> jax.Array:
         """xs: (M, B, S) token ids (or embeddings fed to pre_fn). Returns
@@ -129,12 +129,11 @@ def stage_sharded_forward(
             )
             return out
 
-        return shard_map(
+        return shard_map_nocheck(
             shard_fn,
             mesh=mesh,
             in_specs=(P("stage"), P()),
             out_specs=P(),
-            check_rep=False,
         )(stacked, xs)
 
     return fn

@@ -571,7 +571,7 @@ class Engine:
                 # shard_map: head groups over `model`, batch over `data`. The
                 # fused o_proj matmul outside triggers the psum.
                 from jax.sharding import PartitionSpec as P
-                from jax.experimental.shard_map import shard_map
+                from palu_tpu.parallel.mesh import shard_map_nocheck
 
                 buf_spec_k = jax.tree.map(
                     lambda _: P("data", "model", None, None), entry["k"]
@@ -579,7 +579,7 @@ class Engine:
                 buf_spec_v = jax.tree.map(
                     lambda _: P("data", "model", None, None), entry["v"]
                 )
-                lat_out = shard_map(
+                lat_out = shard_map_nocheck(
                     kernel_call,
                     mesh=ecfg.mesh,
                     in_specs=(
@@ -590,7 +590,6 @@ class Engine:
                         P("data"),
                     ),
                     out_specs=P("data", "model", None),
-                    check_rep=False,
                 )(q, der["b_k"], entry["k"], entry["v"],
                   jnp.broadcast_to(kv_len, (b,)))
             else:
