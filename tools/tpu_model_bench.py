@@ -7,8 +7,11 @@ Random weights (the reference's latency track also runs on random weights,
 run_latency_attention.py:40-55), stacked per-layer and scanned, so the HLO
 contains ONE decode-layer body regardless of depth; 7B widths (hidden 4096,
 32 q heads, inter 11008, rank_k 1024, rank_v 3072, gs 4). Depth defaults to
-24 layers: at 32 layers the bf16 weights (14.5 GB) plus a 64K 3-bit latent
-cache exceed the 16 GB HBM of one v5e; tokens/s/layer extrapolates. A dense
+20 layers: at 32 layers the bf16 weights (14.5 GB) plus a 64K latent cache
+exceed the 15.75 GB HBM of one v5e; tokens/s/layer extrapolates. The cache
+is donated into the chained-decode executable (in-place update; without
+donation XLA copies the full multi-GB cache per call) and re-seeded per
+timed rep. A dense
 bf16 KV cache at 64K would need ~25 GB for the cache ALONE -- the dense
 baseline therefore runs at its largest feasible context instead, which is
 the Palu value proposition in one number.
@@ -36,7 +39,7 @@ from palu_tpu.core import quant as qm
 from palu_tpu.core.quant import QuantConfig, packed_nrows
 from palu_tpu.ops.pallas.palu_decode4 import palu_flash_decode4_quantized
 
-L = int(os.environ.get("LAYERS", 24))
+L = int(os.environ.get("LAYERS", 20))
 SEQ = int(os.environ.get("SEQ", 65536))
 DENSE_SEQ = int(os.environ.get("DENSE_SEQ", 4096))
 STEPS = int(os.environ.get("STEPS", 50))
@@ -118,15 +121,22 @@ def build_palu(bits):
         vc, vs = enc(ks[1], RV, nrv)
         return dict(kc=kc, ks=kss, vc=vc, vs=vs)
 
-    cache0 = seed_cache(key)
-    # NOTE broadcast_to materializes on write; force independent buffers
-    cache0 = jax.tree.map(jnp.asarray, cache0)
+    def make_cache():
+        # NOTE broadcast_to materializes on write; force independent buffers
+        c = jax.tree.map(jnp.asarray, seed_cache(key))
+        jax.block_until_ready(c)
+        return c
 
     def step(x, cache, pos, w):
-        """x (1, H) hidden state; one decode step through all layers."""
+        """x (1, H) hidden state; one decode step through all layers.
+
+        The full (L, ...) cache stays in the loop CARRY and is updated with
+        per-layer dynamic_update_slice (aliasable, in place). Scanning it as
+        xs/ys instead forces XLA to hold input AND output stacks (a full
+        second multi-GB cache copy — the round-2 OOM)."""
         def layer(carry, inp):
-            x, = carry
-            wl, cl = inp
+            x, cache = carry
+            wl, l = inp
             h = rms(x, wl["ln1"])
             q = (h @ wl["wq"]).reshape(1, NH, HD)
             q = rope_q(q, pos)
@@ -137,28 +147,35 @@ def build_palu(bits):
             kcp = qm.pack_codes_t(kc2, bits)[:, :, :, 0]  # (1, G, nrk)
             vcp = qm.pack_codes_t(vc2, bits)[:, :, :, 0]
             p = pos[0]
-            new_c = {
-                "kc": jax.lax.dynamic_update_slice(cl["kc"], kcp[..., None], (0, 0, 0, p)),
-                "vc": jax.lax.dynamic_update_slice(cl["vc"], vcp[..., None], (0, 0, 0, p)),
-                "ks": jax.lax.dynamic_update_slice(cl["ks"], ks2[:, :, :, 0], (0, 0, p)),
-                "vs": jax.lax.dynamic_update_slice(cl["vs"], vs2[:, :, :, 0], (0, 0, p)),
+            cache = {
+                "kc": jax.lax.dynamic_update_slice(
+                    cache["kc"], kcp[None, ..., None], (l, 0, 0, 0, p)),
+                "vc": jax.lax.dynamic_update_slice(
+                    cache["vc"], vcp[None, ..., None], (l, 0, 0, 0, p)),
+                "ks": jax.lax.dynamic_update_slice(
+                    cache["ks"], ks2[None, :, :, :, 0], (l, 0, 0, p)),
+                "vs": jax.lax.dynamic_update_slice(
+                    cache["vs"], vs2[None, :, :, :, 0], (l, 0, 0, p)),
             }
+            cl = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+                cache,
+            )
             lat_out = palu_flash_decode4_quantized(
-                q, wl["b_k"], new_c["kc"], new_c["ks"],
-                new_c["vc"], new_c["vs"], pos + 1,
+                q, wl["b_k"], cl["kc"], cl["ks"],
+                cl["vc"], cl["vs"], pos + 1,
                 qcfg=qc, rk=RK, rv=RV, block_s=BLOCK_S, theta=THETA,
                 interpret=INTERP,
             )  # (1, NH, RV)
             x = x + lat_out.astype(jnp.bfloat16).reshape(1, NH * RV) @ wl["wo_fused"]
             h2 = rms(x, wl["ln2"])
             x = x + (jax.nn.silu(h2 @ wl["gate"]) * (h2 @ wl["up"])) @ wl["down"]
-            return (x,), new_c
+            return (x, cache), ()
 
-        cache_t = {k: cache[k] for k in cache}
-        (x,), new_cache = jax.lax.scan(layer, (x,), (w, cache_t))
-        return x, new_cache
+        (x, cache), _ = jax.lax.scan(layer, (x, cache), (w, jnp.arange(L)))
+        return x, cache
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def run(x0, cache, wt):
         def body(carry, i):
             x, cache = carry
@@ -170,28 +187,42 @@ def build_palu(bits):
         return x
 
     x0 = jax.random.normal(jax.random.PRNGKey(2), (1, H), jnp.bfloat16) * 0.1
-    return run, x0, cache0, w
+    return run, x0, make_cache, w
 
 
 def build_dense():
     w = stacked_weights(jax.random.PRNGKey(0), dense_kv=True)
     s_max = (DENSE_SEQ + STEPS + BLOCK_S) // BLOCK_S * BLOCK_S
-    k0 = jax.random.normal(jax.random.PRNGKey(3), (L, 1, NH, s_max, HD), jnp.bfloat16)
-    v0 = jax.random.normal(jax.random.PRNGKey(4), (L, 1, NH, s_max, HD), jnp.bfloat16)
-    cache0 = {"k": k0, "v": v0}
+    @jax.jit
+    def seed_cache():
+        k0 = jax.random.normal(jax.random.PRNGKey(3), (L, 1, NH, s_max, HD), jnp.bfloat16)
+        v0 = jax.random.normal(jax.random.PRNGKey(4), (L, 1, NH, s_max, HD), jnp.bfloat16)
+        return {"k": k0, "v": v0}
+
+    def make_cache():
+        c = seed_cache()
+        jax.block_until_ready(c)
+        return c
+
     chunk = BLOCK_S
 
     def step(x, cache, pos, w):
         def layer(carry, inp):
-            x, = carry
-            wl, cl = inp
+            x, cache = carry
+            wl, l = inp
             h = rms(x, wl["ln1"])
             q = rope_q((h @ wl["wq"]).reshape(1, NH, HD), pos)
             k_new = rope_q((h @ wl["wk"]).reshape(1, NH, HD), pos)
             v_new = (h @ wl["wv"]).reshape(1, NH, HD)
             p = pos[0]
-            kc = jax.lax.dynamic_update_slice(cl["k"], k_new[:, :, None], (0, 0, p, 0))
-            vc = jax.lax.dynamic_update_slice(cl["v"], v_new[:, :, None], (0, 0, p, 0))
+            cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], k_new[None, :, :, None], (l, 0, 0, p, 0)),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], v_new[None, :, :, None], (l, 0, 0, p, 0)),
+            }
+            kc = jax.lax.dynamic_index_in_dim(cache["k"], l, 0, keepdims=False)
+            vc = jax.lax.dynamic_index_in_dim(cache["v"], l, 0, keepdims=False)
             kv_len = pos + 1
 
             def body(carry2, idx):
@@ -220,12 +251,12 @@ def build_dense():
             x = x + att @ wl["wo"]
             h2 = rms(x, wl["ln2"])
             x = x + (jax.nn.silu(h2 @ wl["gate"]) * (h2 @ wl["up"])) @ wl["down"]
-            return (x,), {"k": kc, "v": vc}
+            return (x, cache), ()
 
-        (x,), new_cache = jax.lax.scan(layer, (x,), (w, cache))
-        return x, new_cache
+        (x, cache), _ = jax.lax.scan(layer, (x, cache), (w, jnp.arange(L)))
+        return x, cache
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def run(x0, cache, wt):
         def body(carry, i):
             x, cache = carry
@@ -236,20 +267,21 @@ def build_dense():
         return x
 
     x0 = jax.random.normal(jax.random.PRNGKey(2), (1, H), jnp.bfloat16) * 0.1
-    return run, x0, cache0, w
+    return run, x0, make_cache, w
 
 
 def time_variant(name, build):
-    run, x0, cache0, w0 = build()
+    run, x0, make_cache, w0 = build()
     log(f"# {name}: compiling...")
     t0 = time.time()
-    out = run(x0, cache0, w0)
+    out = run(x0, make_cache(), w0)
     _ = np.asarray(out[0, :1])
     log(f"# {name}: compile+first {time.time()-t0:.0f}s")
     ts = []
     for _ in range(3):
+        cache = make_cache()  # fresh buffers each rep (run donates them)
         t0 = time.perf_counter()
-        out = run(x0, cache0, w0)
+        out = run(x0, cache, w0)
         _ = np.asarray(out[0, :1])
         ts.append((time.perf_counter() - t0) / STEPS)
     tpot = min(ts) * 1e3
