@@ -203,20 +203,32 @@ def _paley_II(q: int) -> np.ndarray:
 # Orders the reference supports via hardcoded tables (hadamard_utils.py:5-83)
 # and how we construct each. 92/156/172 have no Paley construction; they are
 # Williamson-type orders: H = [[A,B,C,D],[-B,A,-D,C],[-C,D,A,-B],[-D,-C,B,A]]
-# from symmetric +-1 circulants with A^2+B^2+C^2+D^2 = 4t I. For t=23 (order
-# 92) the quadruple below was found by our own meet-in-the-middle eigenvalue
-# search over symmetric sequences (rowsum classes {1,1,3,9}/{3,3,5,7}) and is
-# verified by the H H^T = n I assert at build. Orders 156/172 (t=39/43) need
-# historically computer-searched quadruples; get_hadK substitutes a seeded
-# orthogonal factor with Hadamard-like scaling for them (an equally valid
-# quantization rotation -- exactly orthogonal, same K I Gram -- just not a
-# +-1 matrix; documented divergence from the reference's tables).
+# from symmetric +-1 circulants with A^2+B^2+C^2+D^2 = 4t I. The t=23 (order
+# 92) and t=39 (order 156) quadruples below were found by our own searches
+# (tools/williamson_search.py: PSD filter + meet-in-the-middle over symmetric
+# sequences) and are verified by the H H^T = n I assert at build. Order 172
+# (t=43) still pends a search hit; get_hadK substitutes a seeded orthogonal
+# factor with Hadamard-like scaling for it (an equally valid quantization
+# rotation -- exactly orthogonal, same K I Gram -- just not a +-1 matrix;
+# documented divergence from the reference's tables).
 _WILLIAMSON_ROWS = {
     23: (
         (1, -1, -1, -1, 1, 1, -1, 1, -1, 1, 1, 1, 1, 1, 1, -1, 1, -1, 1, 1, -1, -1, -1),
         (1, -1, -1, 1, 1, -1, 1, 1, 1, 1, -1, -1, -1, -1, 1, 1, 1, 1, -1, 1, 1, -1, -1),
         (-1, 1, 1, 1, 1, 1, -1, -1, -1, 1, 1, -1, -1, 1, 1, -1, -1, -1, 1, 1, 1, 1, 1),
         (1, 1, 1, -1, 1, -1, 1, -1, 1, 1, -1, 1, 1, -1, 1, 1, -1, 1, -1, 1, -1, 1, 1),
+    ),
+    # rowsums (5, 5, 5, 9); found by tools/williamson_search.py (PSD-filtered
+    # meet-in-the-middle over symmetric sequences), verified H H^T = 156 I
+    39: (
+        (1, -1, -1, -1, 1, -1, -1, 1, 1, 1, 1, -1, -1, -1, -1, 1, -1, 1, -1, 1,
+         1, -1, 1, -1, 1, -1, -1, -1, -1, 1, 1, 1, 1, -1, -1, 1, -1, -1, -1),
+        (1, -1, 1, 1, -1, -1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, 1, -1, 1, 1,
+         1, 1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, -1, -1, -1, 1, 1, -1),
+        (1, 1, -1, -1, 1, 1, 1, -1, 1, -1, -1, 1, 1, -1, 1, -1, -1, -1, -1, -1,
+         -1, -1, -1, -1, -1, 1, -1, 1, 1, -1, -1, 1, -1, 1, 1, 1, -1, -1, 1),
+        (1, -1, -1, -1, 1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, -1, -1, -1, -1, 1,
+         1, -1, -1, -1, -1, 1, 1, -1, 1, 1, -1, 1, -1, -1, -1, 1, -1, -1, -1),
     ),
 }
 
@@ -302,7 +314,7 @@ def get_hadK(n: int):
     """
     for K in _K_PRIORITY:
         if n % K == 0 and is_pow2(n // K):
-            if K in (156, 172):
+            if K in (172,):
                 # no constructive route; orthogonal substitute with the same
                 # K I Gram (columns scaled to sqrt(K) like a +-1 Hadamard)
                 return _orthogonal_k(K), K

@@ -13,7 +13,9 @@ from palu_tpu.core import hadamard, lowrank, quant
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("n", [1, 2, 4, 12, 20, 28, 36, 40, 44, 52, 64, 76, 108, 244])
+@pytest.mark.parametrize(
+    "n", [1, 2, 4, 12, 20, 28, 36, 40, 44, 52, 64, 76, 92, 108, 156, 244]
+)
 def test_hadamard_matrix_orthogonal(n):
     H = hadamard.hadamard_matrix(n).astype(np.int64)
     assert np.array_equal(H @ H.T, n * np.eye(n, dtype=np.int64)), n

@@ -100,7 +100,16 @@ def search(t: int, log=print):
         q for q in itertools.combinations_with_replacement(sorted(by_sum), 4)
         if sum(x * x for x in q) == four_t
     ]
-    log(f"t={t}: rowsum quadruples {quads}")
+    # hash the smallest pair-side first (memory: the AB table holds every
+    # surviving pair); try quads with the smallest total work first
+    def cost(q):
+        sizes = sorted(len(by_sum[x]) for x in q)
+        return sizes[0] * sizes[1] + sizes[2] * sizes[3]
+    quads = [
+        tuple(sorted(q, key=lambda x: len(by_sum[x])))
+        for q in sorted(quads, key=cost)
+    ]
+    log(f"t={t}: rowsum quadruples (ab=hashed side first) {quads}")
 
     rng = np.random.default_rng(0)
     hash_vec = rng.integers(1, 2**62, size=m, dtype=np.int64) | 1
