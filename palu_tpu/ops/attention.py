@@ -71,7 +71,9 @@ def mha_prefill(
         and sq == k.shape[1]
         and sq >= 1024
         and sq % 512 == 0
-        and hd >= 128
+        # hd=64 (TinyLlama-class) and hd=128 validated on a real v5e chip
+        # vs the full-softmax reference (bf16 max diff ~0.01)
+        and hd % 64 == 0
         and jax.default_backend() == "tpu"
     )
     if use_flash:
