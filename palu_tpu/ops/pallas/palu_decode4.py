@@ -121,6 +121,7 @@ def _make_kernel4(
     rk: int,
     rv: int,
     compute_dtype=jnp.bfloat16,
+    rot_dtype=jnp.float32,
 ):
     """bits=None builds the fp (bf16 rank-major latents, no scales) variant;
     the cache refs then hold latent rows directly instead of packed codes,
@@ -149,8 +150,10 @@ def _make_kernel4(
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
         pos_start = sblk * block_s
-        cos = cos_ref[...]  # (W, BS) static relative tables
-        sin = sin_ref[...]
+        # rot_dtype=bf16 halves the elementwise-RoPE VPU work (the largest
+        # non-MXU cost); fp32 (default) keeps full logit precision
+        cos = cos_ref[...].astype(rot_dtype)  # (W, BS) static relative tables
+        sin = sin_ref[...].astype(rot_dtype)
 
         pos = jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1) + pos_start
         valid = pos < kv_len  # (1, BS) -- broadcasts over head sublanes
@@ -181,10 +184,10 @@ def _make_kernel4(
             ck = _rows(xk_codes[gi], rk)
             u = jax.lax.dot_general(
                 bq1, ck, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (W, BS)
+                preferred_element_type=rot_dtype)  # (W, BS)
             v = jax.lax.dot_general(
                 bq2, ck, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=rot_dtype)
             return (u * cos + v * sin).astype(cdt)
 
         # ---- K path: per-pair segment dot -> (2*hpg, BS), tile-aligned ----
@@ -248,7 +251,7 @@ def _make_kernel4(
 def _call4(
     q, b_k, xk_rows, xk_scale, xv_rows, xv_scale, kv_len,
     *, bits, rk, rv, block_s, theta, sliding_window, interpret,
-    compute_dtype, inv_freq_static, rope_scale,
+    compute_dtype, inv_freq_static, rope_scale, rot_dtype=jnp.float32,
 ):
     b, nh, hd = q.shape
     g, hpg = b_k.shape[0], b_k.shape[1]
@@ -288,7 +291,7 @@ def _call4(
     kernel = _make_kernel4(
         block_s=block_s, g=g, hpg=hpg, half=half,
         sliding_window=sliding_window, bits=bits, rk=rk, rv=rv,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, rot_dtype=rot_dtype,
     )
 
     grid = (b, nblk)
@@ -344,7 +347,7 @@ def _call4(
     jax.jit,
     static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window",
                      "interpret", "compute_dtype", "inv_freq_static",
-                     "rope_scale"),
+                     "rope_scale", "rot_dtype"),
 )
 def palu_flash_decode4_quantized(
     q: jax.Array,  # (B, nh, hd)
@@ -365,6 +368,7 @@ def palu_flash_decode4_quantized(
     compute_dtype=jnp.bfloat16,
     inv_freq_static=None,
     rope_scale: float = 1.0,
+    rot_dtype=jnp.float32,
 ) -> jax.Array:
     """Decode attention over a SYMMETRICALLY quantized rank-major latent
     cache -> (B, nh, rv) latent-space output.
@@ -381,7 +385,7 @@ def palu_flash_decode4_quantized(
         bits=qcfg.bits, rk=rk, rv=rv, block_s=block_s, theta=theta,
         sliding_window=sliding_window, interpret=interpret,
         compute_dtype=compute_dtype, inv_freq_static=inv_freq_static,
-        rope_scale=rope_scale,
+        rope_scale=rope_scale, rot_dtype=rot_dtype,
     )
 
 
@@ -389,7 +393,7 @@ def palu_flash_decode4_quantized(
     jax.jit,
     static_argnames=("rk", "rv", "block_s", "theta", "sliding_window",
                      "interpret", "compute_dtype", "inv_freq_static",
-                     "rope_scale"),
+                     "rope_scale", "rot_dtype"),
 )
 def palu_flash_decode4(
     q: jax.Array,  # (B, nh, hd)
@@ -407,6 +411,7 @@ def palu_flash_decode4(
     compute_dtype=jnp.bfloat16,
     inv_freq_static=None,
     rope_scale: float = 1.0,
+    rot_dtype=jnp.float32,
 ) -> jax.Array:
     """Transposed-formulation decode over an UNQUANTIZED rank-major latent
     cache -> (B, nh, rv).  Same kernel as the quantized variant with the
@@ -420,5 +425,5 @@ def palu_flash_decode4(
         bits=None, rk=rk, rv=rv, block_s=block_s, theta=theta,
         sliding_window=sliding_window, interpret=interpret,
         compute_dtype=compute_dtype, inv_freq_static=inv_freq_static,
-        rope_scale=rope_scale,
+        rope_scale=rope_scale, rot_dtype=rot_dtype,
     )
