@@ -60,7 +60,9 @@ def bench_attention_module(
     rk = total_rank_k // g
     rv = total_rank_v // g
     hidden = num_heads * head_dim
-    s_max = (prompt_len + n_steps + block_s) // block_s * block_s
+    # rounded to a multiple of 2*block_s: the 4-bit variant runs its kernel
+    # at block 2048 (see the sweep note below) and s_max must divide evenly
+    s_max = (prompt_len + n_steps + 2 * block_s) // (2 * block_s) * (2 * block_s)
 
     rng = np.random.default_rng(0)
     bf = jnp.bfloat16
@@ -225,7 +227,10 @@ def bench_attention_module(
     for bits in (4, 3):
         log(f"# compiling palu {bits}-bit step...", file=sys.stderr)
         qcfg_b = QuantConfig(bits=bits, group_size=0, sym=True)
-        step_jit = make_quant_step(qcfg_b, block_s)
+        # block sweep on chip (chain-96 A/B, tools/tpu_ab_v2.py): 4-bit is
+        # fastest at block 2048 (940us vs 983 @1024, 965 @4096); 3-bit
+        # prefers 1024 (plane unpack VMEM pressure)
+        step_jit = make_quant_step(qcfg_b, 2 * block_s if bits == 4 else block_s)
         kc0 = jnp.zeros((1, g, packed_nrows(rk, bits), s_max), jnp.uint8)
         ks0 = jnp.zeros((1, g, s_max), jnp.float32)
         vc0 = jnp.zeros((1, g, packed_nrows(rv, bits), s_max), jnp.uint8)
