@@ -182,12 +182,14 @@ def _make_kernel4(
             bq1 = (a1 * b1g + a2 * b2g).astype(cdt)  # (W, rk)
             bq2 = (a2 * b1g - a1 * b2g).astype(cdt)
             ck = _rows(xk_codes[gi], rk)
+            # Mosaic requires 32-bit matmul accumulators; rot_dtype only
+            # affects the elementwise rotation (and the table residency)
             u = jax.lax.dot_general(
                 bq1, ck, (((1,), (0,)), ((), ())),
-                preferred_element_type=rot_dtype)  # (W, BS)
+                preferred_element_type=jnp.float32).astype(rot_dtype)  # (W, BS)
             v = jax.lax.dot_general(
                 bq2, ck, (((1,), (0,)), ((), ())),
-                preferred_element_type=rot_dtype)
+                preferred_element_type=jnp.float32).astype(rot_dtype)
             return (u * cos + v * sin).astype(cdt)
 
         # ---- K path: per-pair segment dot -> (2*hpg, BS), tile-aligned ----
