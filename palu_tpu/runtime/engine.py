@@ -53,6 +53,9 @@ class EngineConfig:
     # decode then runs the flash-decoding seq-parallel combine
     # (attention.flash_decode_latent_seq_sharded). bf16 cache only.
     seq_axis: Optional[str] = None
+    # sequence-block size for the fused Pallas decode kernels; None uses
+    # decode_chunk (rounded to a divisor of s_max)
+    pallas_block: Optional[int] = None
 
 
 def build_decode_b(u_k: np.ndarray, cfg: ModelConfig) -> jnp.ndarray:
@@ -94,6 +97,14 @@ class Engine:
         while ecfg.s_max % chunk:
             chunk -= 1
         self._chunk = chunk
+        # fused-kernel seq block: defaults to the decode chunk but can be
+        # raised independently (on-chip sweep: 4-bit v4 is fastest at 2048
+        # while prefill activation memory prefers a smaller decode_chunk)
+        pb = ecfg.pallas_block if ecfg.pallas_block is not None else chunk
+        pb = max(1, min(pb, ecfg.s_max))
+        while ecfg.s_max % pb:
+            pb -= 1
+        self._pallas_block = pb
         if ecfg.rank_major_fp and ecfg.seq_axis is not None:
             raise ValueError(
                 "rank_major_fp and seq_axis are mutually exclusive: the "
@@ -511,7 +522,7 @@ class Engine:
 
             use_v4 = rm and ecfg.qcfg.sym  # sym rank-major -> v4 transposed
             use_v2 = rm and not ecfg.qcfg.sym  # asym rank-major -> v2
-            block_s = self._chunk
+            block_s = self._pallas_block
 
             def kernel_call(q_, b_k_, k_bufs, v_bufs, kv_len_):
                 if ecfg.rank_major_fp and not quantized:

@@ -309,3 +309,26 @@ def test_engine_pallas_group_quant_falls_back_to_xla():
     s1 = _stepwise_logits(e_xla, ids)
     s2 = _stepwise_logits(e_pal, ids)
     assert np.allclose(s1, s2, atol=3e-3), np.abs(s1 - s2).max()
+
+
+def test_engine_pallas_block_override():
+    """EngineConfig.pallas_block sets the fused-kernel seq block
+    independently of decode_chunk, rounded down to a divisor of s_max; the
+    kernel output must not change."""
+    params, cfg = _lowrank_model(seed=31, rank=16, gs=2)
+    qcfg = QuantConfig(bits=4, group_size=0, sym=True)
+    ids = np.random.default_rng(31).integers(0, cfg.vocab_size, (1, 12))
+    e_a = Engine(params, cfg, EngineConfig(s_max=32, dtype=jnp.float32,
+                                           qcfg=qcfg, decode_chunk=8,
+                                           use_pallas=True,
+                                           pallas_interpret=True))
+    e_b = Engine(params, cfg, EngineConfig(s_max=32, dtype=jnp.float32,
+                                           qcfg=qcfg, decode_chunk=8,
+                                           pallas_block=24,  # -> divisor 16
+                                           use_pallas=True,
+                                           pallas_interpret=True))
+    assert e_a._pallas_block == 8
+    assert e_b._pallas_block == 16
+    s1 = _stepwise_logits(e_a, ids)
+    s2 = _stepwise_logits(e_b, ids)
+    assert np.allclose(s1, s2, atol=3e-3), np.abs(s1 - s2).max()
