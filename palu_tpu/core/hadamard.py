@@ -204,19 +204,29 @@ def _paley_II(q: int) -> np.ndarray:
 # and how we construct each. 92/156/172 have no Paley construction; they are
 # Williamson-type orders: H = [[A,B,C,D],[-B,A,-D,C],[-C,D,A,-B],[-D,-C,B,A]]
 # from symmetric +-1 circulants with A^2+B^2+C^2+D^2 = 4t I. The t=23 (order
-# 92) and t=39 (order 156) quadruples below were found by our own searches
-# (tools/williamson_search.py: PSD filter + meet-in-the-middle over symmetric
-# sequences) and are verified by the H H^T = n I assert at build. Order 172
-# (t=43) still pends a search hit; get_hadK substitutes a seeded orthogonal
-# factor with Hadamard-like scaling for it (an equally valid quantization
-# rotation -- exactly orthogonal, same K I Gram -- just not a +-1 matrix;
-# documented divergence from the reference's tables).
+# 92), t=39 (order 156), and t=43 (order 172) quadruples below were found by
+# our own searches (tools/williamson_search.py: PSD filter + meet-in-the-
+# middle over symmetric sequences) and are verified by the H H^T = n I
+# assert at build -- every order the reference tabulates is covered by a
+# generated construction.
 _WILLIAMSON_ROWS = {
     23: (
         (1, -1, -1, -1, 1, 1, -1, 1, -1, 1, 1, 1, 1, 1, 1, -1, 1, -1, 1, 1, -1, -1, -1),
         (1, -1, -1, 1, 1, -1, 1, 1, 1, 1, -1, -1, -1, -1, 1, 1, 1, 1, -1, 1, 1, -1, -1),
         (-1, 1, 1, 1, 1, 1, -1, -1, -1, 1, 1, -1, -1, 1, 1, -1, -1, -1, 1, 1, 1, 1, 1),
         (1, 1, 1, -1, 1, -1, 1, -1, 1, 1, -1, 1, 1, -1, 1, 1, -1, 1, -1, 1, -1, 1, 1),
+    ),
+    # rowsums (11, 5, 5, 1); found by tools/williamson_search.py, verified
+    # H H^T = 172 I at build
+    43: (
+        (1, -1, 1, 1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, 1, 1, 1, 1, 1, 1, 1,
+         -1, -1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, 1, 1, -1, -1, 1, -1, 1, 1, 1, -1),
+        (1, -1, -1, 1, 1, -1, 1, 1, 1, -1, -1, -1, -1, 1, -1, -1, -1, -1, 1, 1, -1,
+         1, 1, -1, 1, 1, -1, -1, -1, -1, 1, -1, -1, -1, -1, 1, 1, 1, -1, 1, 1, -1, -1),
+        (1, 1, -1, 1, -1, -1, 1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, -1, -1, -1,
+         -1, -1, -1, -1, -1, -1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 1, 1, -1, -1, 1, -1, 1),
+        (1, -1, -1, -1, 1, 1, -1, 1, 1, 1, -1, -1, 1, -1, 1, -1, 1, -1, 1, 1, -1,
+         -1, -1, -1, 1, 1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, 1, -1, 1, 1, -1, -1, -1),
     ),
     # rowsums (5, 5, 5, 9); found by tools/williamson_search.py (PSD-filtered
     # meet-in-the-middle over symmetric sequences), verified H H^T = 156 I
@@ -314,10 +324,6 @@ def get_hadK(n: int):
     """
     for K in _K_PRIORITY:
         if n % K == 0 and is_pow2(n // K):
-            if K in (172,):
-                # no constructive route; orthogonal substitute with the same
-                # K I Gram (columns scaled to sqrt(K) like a +-1 Hadamard)
-                return _orthogonal_k(K), K
             return hadamard_matrix(K).astype(np.float32), K
     if is_pow2(n):
         return None, 1
@@ -377,15 +383,6 @@ def apply_hadamard(x: jax.Array, transpose: bool = False) -> jax.Array:
         hk = jnp.asarray(hadK.T if transpose else hadK, dtype=jnp.float32)
         out = jnp.einsum("...km,jk->...jm", xs, hk).reshape(x.shape)
     return (out / math.sqrt(n)).astype(dtype)
-
-
-@functools.lru_cache(maxsize=None)
-def _orthogonal_k(k: int, seed: int = 0) -> np.ndarray:
-    """Seeded orthogonal KxK factor scaled so Q Q^T = K I (drop-in for a
-    Hadamard K-factor in apply_hadamard's normalization)."""
-    rng = np.random.default_rng(seed + k)
-    q, _ = np.linalg.qr(rng.standard_normal((k, k)))
-    return (q * np.sqrt(k)).astype(np.float32)
 
 
 def random_sign_diagonal(n: int, seed: int = 0) -> np.ndarray:

@@ -14,7 +14,7 @@ from palu_tpu.core import hadamard, lowrank, quant
 
 
 @pytest.mark.parametrize(
-    "n", [1, 2, 4, 12, 20, 28, 36, 40, 44, 52, 64, 76, 92, 108, 156, 244]
+    "n", [1, 2, 4, 12, 20, 28, 36, 40, 44, 52, 64, 76, 92, 108, 156, 172, 244]
 )
 def test_hadamard_matrix_orthogonal(n):
     H = hadamard.hadamard_matrix(n).astype(np.int64)
