@@ -58,3 +58,64 @@ def test_latency_kernel_cli_runs_interpret(monkeypatch):
 
     rows = main()
     assert rows and "xla_us" in rows[0]
+
+
+def test_compress_cli_fisher_whiten_then_ppl(tmp_path, monkeypatch):
+    """The reference's canonical workflow fully offline: random checkpoint +
+    freshly trained BPE tokenizer + local corpus -> compress CLI
+    (fisher_uniform search, whiten decomposition, 3-bit Hadamard-ready
+    output) -> reload -> ppl eval CLI on the same corpus (reference flow:
+    compress.py then run_ppl_eval.py)."""
+    import torch
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    from transformers import LlamaConfig, LlamaForCausalLM, PreTrainedTokenizerFast
+
+    torch.manual_seed(1)
+    src_dir = str(tmp_path / "dense")
+    LlamaForCausalLM(
+        LlamaConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    num_key_value_heads=4, max_position_embeddings=256)
+    ).float().save_pretrained(src_dir, safe_serialization=True)
+
+    # offline corpus + tokenizer (no-egress analog of wikitext2 calibration)
+    corpus = str(tmp_path / "corpus.txt")
+    with open(__file__) as f:
+        text = f.read() * 8
+    with open(corpus, "w") as f:
+        f.write(text)
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.train_from_iterator(
+        [text], trainers.BpeTrainer(vocab_size=500,
+                                    special_tokens=["<unk>", "<s>", "</s>"]))
+    PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="<unk>", bos_token="<s>",
+        eos_token="</s>").save_pretrained(src_dir)
+
+    out_dir = str(tmp_path / "palu")
+    monkeypatch.setattr(sys, "argv", [
+        "compress", "--model_name_or_path", src_dir, "--output_dir", out_dir,
+        "--param_ratio_target", "0.8", "--search_method", "fisher_uniform",
+        "--decompose_method", "whiten", "--head_group_size", "2",
+        "--local_text_path", corpus, "--n_fisher_calib_samples", "2",
+        "--n_whiten_calib_samples", "2", "--calib_seqlen", "64",
+    ])
+    from palu_tpu.cli.compress import main as compress_main
+
+    compress_main()
+
+    with open(os.path.join(out_dir, "config.json")) as f:
+        conf = json.load(f)
+    assert conf["model_type"] == "palullama"
+    assert conf["head_wise_ranks"]
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_ppl_eval", "--model_name_or_path", out_dir,
+        "--datasets", "wikitext2", "--seqlen", "64",
+        "--local_text_path", corpus, "--lt_bits", "3", "--lt_hadamard",
+        "--use_cpu",
+    ])
+    from palu_tpu.cli.run_ppl_eval import main as ppl_main
+
+    ppl_main()
