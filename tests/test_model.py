@@ -324,3 +324,27 @@ def test_engine_rope_scaling_matches_forward(tmp_path):
         logits, cache = eng.decode(ids[:, t:t+1], cache)
         np.testing.assert_allclose(np.asarray(logits[0, -1]), ref[0, t],
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_load_params_sharded_safetensors(tmp_path):
+    """Real 7B checkpoints ship as sharded safetensors with an index; the
+    loader must read via model.safetensors.index.json (hf_io.py:84-92)."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(3)
+    d = str(tmp_path / "sharded")
+    m = LlamaForCausalLM(
+        LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    num_key_value_heads=4, max_position_embeddings=128)
+    ).float()
+    # force sharding with a tiny max shard size
+    m.save_pretrained(d, safe_serialization=True, max_shard_size="200KB")
+    import os
+    assert os.path.exists(os.path.join(d, "model.safetensors.index.json")), \
+        "fixture did not produce a sharded checkpoint"
+
+    params, cfg = hf_io.load_params(d, dtype=jnp.float32)
+    logits = llama.forward(params, jnp.zeros((1, 8), jnp.int32), cfg)
+    assert np.isfinite(np.asarray(logits)).all()
