@@ -348,3 +348,46 @@ def test_load_params_sharded_safetensors(tmp_path):
     params, cfg = hf_io.load_params(d, dtype=jnp.float32)
     logits = llama.forward(params, jnp.zeros((1, 8), jnp.int32), cfg)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_native_orbax_checkpoint_roundtrip(tmp_path):
+    """save_native/load_native round-trips compressed params + config and
+    restores with target shardings on a mesh (the pod-restore path)."""
+    import jax
+
+    from palu_tpu.compression import compress_params
+    from palu_tpu.models import ckpt as ckpt_io
+    from palu_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    params = llama.init_params(cfg, jax.random.key(5), dtype=jnp.float32)
+    sel = {}
+    for i in range(2):
+        sel[f"model.layers.{i}.self_attn.k_proj"] = [8, 8]
+        sel[f"model.layers.{i}.self_attn.v_proj"] = [8, 8]
+    cp, cc = compress_params(params, cfg, sel, "svd", 2, dtype=jnp.float32)
+
+    d = str(tmp_path / "native")
+    ckpt_io.save_native(d, cp, cc)
+    rp, rc = ckpt_io.load_native(d)
+    assert rc.head_wise_ranks == cc.head_wise_ranks
+    ref = llama.forward(cp, jnp.zeros((1, 8), jnp.int32), cc)
+    out = llama.forward(rp, jnp.zeros((1, 8), jnp.int32), rc)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+    # sharded restore: arrays land with the mesh shardings
+    from palu_tpu.parallel import make_mesh
+    from palu_tpu.parallel.mesh import param_shardings
+
+    mesh = make_mesh(data=2, model=2)
+    sh = param_shardings(cp, mesh)
+    sp, _ = ckpt_io.load_native(d, shardings=sh)
+    leaf = sp["layers"][0]["attn"]["k_proj"]["VT"]
+    assert leaf.sharding.mesh.shape == mesh.shape
+    out2 = llama.forward(sp, jnp.zeros((1, 8), jnp.int32), rc)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
