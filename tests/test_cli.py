@@ -119,3 +119,36 @@ def test_compress_cli_fisher_whiten_then_ppl(tmp_path, monkeypatch):
     from palu_tpu.cli.run_ppl_eval import main as ppl_main
 
     ppl_main()
+
+
+def test_run_latency_attention_cli_smoke(tmp_path, monkeypatch, capsys):
+    """TPOT profiler CLI on tiny shapes (reference protocol:
+    run_latency_attention.py:57-106), both palu and dense baseline."""
+    for extra in (["--palu"], []):
+        monkeypatch.setattr(sys, "argv", [
+            "run_latency_attention", "--prompt_len", "64", "--n_steps", "2",
+            "--num_heads", "8", "--head_dim", "64", "--vocab_size", "128",
+            "--group_size", "2", "--total_rank_k", "64", "--total_rank_v", "64",
+            "--decode_chunk", "32", "--no_pallas", "--json", *extra,
+        ])
+        from palu_tpu.cli.run_latency_attention import main
+
+        main()
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        rec = json.loads(out)
+        assert rec["tpot_ms"] > 0
+
+
+def test_serve_bench_cli_smoke(monkeypatch, capsys):
+    monkeypatch.setattr(sys, "argv", [
+        "serve_bench", "--num_requests", "3", "--lanes", "2",
+        "--prompt_len", "16", "--max_new_tokens", "4", "--s_max", "64",
+        "--num_layers", "1", "--num_heads", "4", "--head_dim", "32",
+        "--group_size", "2", "--rank", "16", "--vocab_size", "64",
+        "--decode_chunk", "32", "--use_cpu", "--json",
+    ])
+    from palu_tpu.cli.serve_bench import main
+
+    main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["requests"] == 3 and rec["total_tokens"] > 0
