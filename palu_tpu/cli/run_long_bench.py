@@ -21,6 +21,10 @@ def main():
     parser.add_argument("--max_samples", type=int, default=None)
     parser.add_argument("--chat_template", action="store_true")
     parser.add_argument("--output_path", type=str, default="results/longbench.jsonl")
+    parser.add_argument(
+        "--fixture_dir", type=str, default=None,
+        help="offline fixtures: <dir>/<dataset>.jsonl with context/input/"
+             "answers/all_classes fields instead of THUDM/LongBench downloads")
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -37,6 +41,14 @@ def main():
                      dtype=jnp.bfloat16),
     )
     os.makedirs(os.path.dirname(args.output_path) or ".", exist_ok=True)
+    data_loader = None
+    if args.fixture_dir:
+        import json as _json
+
+        def data_loader(name):
+            with open(os.path.join(args.fixture_dir, f"{name}.jsonl")) as f:
+                return [_json.loads(line) for line in f if line.strip()]
+
     results = run_longbench(
         engine, tokenizer,
         datasets=args.datasets.split(","),
@@ -44,6 +56,7 @@ def main():
         out_path=args.output_path,
         max_samples=args.max_samples,
         chat_template=args.chat_template,
+        data_loader=data_loader,
     )
     for ds, score in results.items():
         print(f"{ds}: {score}")

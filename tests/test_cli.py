@@ -152,3 +152,64 @@ def test_serve_bench_cli_smoke(monkeypatch, capsys):
     main()
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["requests"] == 3 and rec["total_tokens"] > 0
+
+
+def test_run_long_bench_cli_offline_fixture(tmp_path, monkeypatch, capsys):
+    """LongBench CLI end to end with --fixture_dir (no dataset downloads):
+    tiny compressed ckpt + trained tokenizer -> generation -> scoring."""
+    import torch
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    from transformers import LlamaConfig, LlamaForCausalLM, PreTrainedTokenizerFast
+
+    torch.manual_seed(2)
+    src = str(tmp_path / "dense")
+    LlamaForCausalLM(
+        LlamaConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    num_key_value_heads=4, max_position_embeddings=256)
+    ).float().save_pretrained(src, safe_serialization=True)
+    text = open(__file__).read()
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.train_from_iterator(
+        [text], trainers.BpeTrainer(vocab_size=500,
+                                    special_tokens=["<unk>", "<s>", "</s>"]))
+    PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="<unk>",
+                            bos_token="<s>", eos_token="</s>").save_pretrained(src)
+
+    out_dir = str(tmp_path / "palu")
+    monkeypatch.setattr(sys, "argv", [
+        "compress", "--model_name_or_path", src, "--output_dir", out_dir,
+        "--param_ratio_target", "0.9", "--search_method", "uniform",
+        "--decompose_method", "svd", "--head_group_size", "2",
+    ])
+    from palu_tpu.cli.compress import main as compress_main
+
+    compress_main()
+    # tokenizer files travel with the eval checkpoint
+    import shutil
+    for f in ("tokenizer.json", "tokenizer_config.json", "special_tokens_map.json"):
+        p = os.path.join(src, f)
+        if os.path.exists(p):
+            shutil.copy(p, out_dir)
+
+    fx = tmp_path / "fixtures"
+    fx.mkdir()
+    with open(fx / "trec.jsonl", "w") as f:
+        for q in ("what is a palu cache", "where does the latent live"):
+            f.write(json.dumps({
+                "context": "", "input": q, "answers": ["test"],
+                "all_classes": ["test", "other"],
+            }) + "\n")
+
+    out_path = str(tmp_path / "lb.jsonl")
+    monkeypatch.setattr(sys, "argv", [
+        "run_long_bench", "--model_name_or_path", out_dir,
+        "--datasets", "trec", "--s_max", "128", "--max_prompt_len", "64",
+        "--fixture_dir", str(fx), "--output_path", out_path, "--use_cpu",
+    ])
+    from palu_tpu.cli.run_long_bench import main as lb_main
+
+    lb_main()
+    assert "trec:" in capsys.readouterr().out
+    assert os.path.exists(out_path)
