@@ -19,6 +19,10 @@ def main():
     )
     parser.add_argument("--max_samples", type=int, default=None)
     parser.add_argument("--output_dir", type=str, default="results")
+    parser.add_argument(
+        "--fixture_dir", type=str, default=None,
+        help="offline fixtures: <dir>/<task>.jsonl rows with the task's "
+             "document fields; forces the built-in harness (no downloads)")
     args = parser.parse_args()
 
     from transformers import AutoTokenizer
@@ -27,11 +31,18 @@ def main():
 
     params, cfg = load_for_eval(args)
     tokenizer = AutoTokenizer.from_pretrained(args.model_name_or_path)
+    data_loader = None
+    if args.fixture_dir:
+        def data_loader(task):
+            with open(os.path.join(args.fixture_dir, f"{task}.jsonl")) as f:
+                return [json.loads(line) for line in f if line.strip()]
+
     results = run_zero_shot(
         params, cfg, tokenizer,
         tasks=args.tasks.split(","),
         qcfg=quant_config_from_args(args),
         max_samples=args.max_samples,
+        data_loader=data_loader,
     )
     os.makedirs(args.output_dir, exist_ok=True)
     model_name = os.path.basename(args.model_name_or_path.rstrip("/"))

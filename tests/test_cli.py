@@ -213,3 +213,46 @@ def test_run_long_bench_cli_offline_fixture(tmp_path, monkeypatch, capsys):
     lb_main()
     assert "trec:" in capsys.readouterr().out
     assert os.path.exists(out_path)
+
+
+def test_run_lm_eval_cli_offline_fixture(tmp_path, monkeypatch, capsys):
+    """Zero-shot CLI with --fixture_dir piqa rows (no downloads)."""
+    import torch
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    from transformers import LlamaConfig, LlamaForCausalLM, PreTrainedTokenizerFast
+
+    torch.manual_seed(4)
+    src = str(tmp_path / "dense")
+    LlamaForCausalLM(
+        LlamaConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    num_key_value_heads=4, max_position_embeddings=256)
+    ).float().save_pretrained(src, safe_serialization=True)
+    text = open(__file__).read()
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.train_from_iterator(
+        [text], trainers.BpeTrainer(vocab_size=500,
+                                    special_tokens=["<unk>", "<s>", "</s>"]))
+    PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="<unk>",
+                            bos_token="<s>", eos_token="</s>").save_pretrained(src)
+
+    fx = tmp_path / "fixtures"
+    fx.mkdir()
+    with open(fx / "piqa.jsonl", "w") as f:
+        f.write(json.dumps({"goal": "pick a", "sol1": "aaaa", "sol2": "bbbb",
+                            "label": 0}) + "\n")
+        f.write(json.dumps({"goal": "pick b", "sol1": "cccc", "sol2": "dddd",
+                            "label": 1}) + "\n")
+
+    out_dir = str(tmp_path / "results")
+    monkeypatch.setattr(sys, "argv", [
+        "run_lm_eval", "--model_name_or_path", src, "--tasks", "piqa",
+        "--fixture_dir", str(fx), "--output_dir", out_dir, "--use_cpu",
+    ])
+    from palu_tpu.cli.run_lm_eval import main as lm_main
+
+    lm_main()
+    rec = json.loads(capsys.readouterr().out)
+    assert 0.0 <= rec["piqa"]["acc"] <= 1.0
+    assert os.path.exists(os.path.join(out_dir, "dense_16.json"))
