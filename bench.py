@@ -33,6 +33,22 @@ def _setup_jax():
     )
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    # fail fast if the TPU tunnel is unreachable: jax.devices() blocks
+    # inside a C call forever on a dead tunnel (not even SIGALRM-
+    # interruptible), so probe the relay's TCP port first when the session
+    # is configured for the tunneled axon backend
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        import socket
+
+        for port in (8082, 8083):
+            try:
+                socket.create_connection(("127.0.0.1", port), timeout=5).close()
+            except OSError:
+                print(f"bench: TPU tunnel port {port} unreachable -- "
+                      "backend init would hang; aborting",
+                      file=sys.stderr, flush=True)
+                raise SystemExit(3)
     return jax
 
 
