@@ -5,9 +5,11 @@ continuous-batching requests) spans hosts over DCN. Collectives are still
 inserted by GSPMD from the NamedSharding rules in mesh.py -- the only
 multi-host-specific work is process bootstrap and host-local data feeding.
 
-This module is exercised in CI only via the virtual-device path
-(jax.distributed with a single process); the driver's dryrun validates the
-sharded program compiles and runs (see __graft_entry__.dryrun_multichip).
+Exercised by a REAL 2-process jax.distributed cluster in
+tests/test_multiprocess.py (cross-process collectives, host-local lane
+feeding, process-spanning data axis); the driver's dryrun additionally
+validates the sharded program on 8 virtual devices
+(see __graft_entry__.dryrun_multichip).
 """
 
 from __future__ import annotations

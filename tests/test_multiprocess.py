@@ -1,0 +1,61 @@
+"""Real 2-process multi-host test: spawns two jax processes that bootstrap
+jax.distributed over a local coordinator, form the (data=2, model=4) pod
+mesh (data axis = the cross-host/DCN analog), feed host-local batch lanes,
+and check the TP+DP-sharded engine's prefill/decode against a single-device
+reference.  See tests/mp_worker.py for what runs inside each process.
+
+Everything else in the suite simulates multi-chip with ONE process and 8
+virtual devices; this is the only test where jax.process_count() == 2 and
+collectives actually cross process boundaries.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_pod_mesh_engine():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "mp_worker.py")
+    port = _free_port()
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # fresh processes must not inherit the parent's multihost identity
+    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        env.pop(k, None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"MP_OK {i}" in out, f"worker {i} did not report success:\n{out}"
