@@ -228,11 +228,18 @@ class ServingEngine:
     With `ecfg.mesh` set, the engine runs sharded: params tensor-parallel
     over the `model` axis, the lane-batched latent cache over
     (data, model), and the decode step dispatches through the shard_map'd
-    Pallas kernel when `ecfg.use_pallas`. Each host admits requests only
-    into the lanes whose data-axis shard it owns
-    (multihost.host_local_batch_slice), so continuous-batching traffic rides
-    the data axis; lockstep multi-host stepping drives the same jitted
-    program on every process.
+    Pallas kernel when `ecfg.use_pallas`.
+
+    Multi-host (a mesh whose data axis spans jax processes — the real
+    "continuous batching across hosts" path, tests/test_multiprocess.py):
+    every host must `submit()` the SAME request stream, so the global
+    scheduler stays in lockstep on all processes; each request's PREFILL
+    runs only on the host owning its lane (multihost.host_local_batch_slice)
+    and the latents enter the cache by host-side local-shard writes (no
+    cross-process jit), while the replicated per-lane lengths are written by
+    every host.  The decode step is one global SPMD program per step on all
+    hosts; the only DCN traffic continuous batching adds is a per-step
+    allgather of the B sampled token ids.
     """
 
     def __init__(self, params, cfg, ecfg: EngineConfig, prefer_native: bool = True,
@@ -265,10 +272,19 @@ class ServingEngine:
             self.local_lanes = multihost.host_local_batch_slice(
                 ecfg.batch, ecfg.mesh
             )
+            self._nproc = len({d.process_index for d in ecfg.mesh.devices.flat})
         else:
             self.local_lanes = slice(0, ecfg.batch)
-        n_local = self.local_lanes.stop - self.local_lanes.start
-        self.sched = load_scheduler(n_local, ecfg.s_max, prefer_native)
+            self._nproc = 1
+        if self._nproc > 1 and prefill_chunks_per_step is not None:
+            raise ValueError(
+                "chunked-prefill interleaving is not supported with a "
+                "multi-process mesh (prefill is host-local; interleave "
+                "state cannot stay in lockstep)")
+        # the scheduler is GLOBAL: every host runs the same one over all
+        # lanes (identical admissions everywhere); ownership only gates
+        # which host computes a lane's prefill
+        self.sched = load_scheduler(ecfg.batch, ecfg.s_max, prefer_native)
         self.cache = self.engine.init_cache()
         if ecfg.mesh is not None:
             from ..parallel import mesh as mesh_lib
@@ -280,6 +296,7 @@ class ServingEngine:
         self.outputs: Dict[int, List[int]] = {}
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,),
                                static_argnames=("lane",))
+        self._argmax = jax.jit(lambda l: jnp.argmax(l[:, -1], axis=-1))
         self.eos_token_id: Optional[int] = None
 
     @staticmethod
@@ -308,12 +325,73 @@ class ServingEngine:
             self._prompts[rid] = prompt_ids
         return ok
 
+    def _lane_write(self, garr, lane: int, row):
+        """Write `row` (np/jnp value of shape garr.shape[1:], or a scalar for
+        1-D arrays) into garr[lane] by per-shard device updates -- each
+        process touches only its addressable shards, so this needs no
+        collective and no cross-process jit call.  Shards whose lane range
+        does not contain `lane` are reused untouched."""
+        shards = []
+        for sh in garr.addressable_shards:
+            idx = sh.index
+            lane_sl = idx[0]
+            lo = lane_sl.start if lane_sl.start is not None else 0
+            hi = lane_sl.stop if lane_sl.stop is not None else garr.shape[0]
+            if lo <= lane < hi:
+                assert row is not None, "no data for an owned lane shard"
+                part = row[idx[1:]] if len(idx) > 1 else row
+                dev_part = jax.device_put(part, sh.device)
+                shards.append(sh.data.at[lane - lo].set(dev_part))
+            else:
+                shards.append(sh.data)
+        return jax.make_array_from_single_device_arrays(
+            garr.shape, garr.sharding, shards)
+
+    def _insert_hostside(self, lane: int, single_cache, length: int) -> None:
+        """Multi-process lane insertion: the owning host writes the prefilled
+        latents into its local shards of the (data, model)-sharded cache
+        (single_cache != None only there); EVERY host writes the replicated
+        per-lane length so the length replicas never diverge."""
+        cache = self.cache
+        if single_cache is not None:
+            layers = []
+            for b_entry, s_entry in zip(cache["layers"], single_cache["layers"]):
+                new_entry = {}
+                for side in b_entry:
+                    new_entry[side] = {
+                        k: self._lane_write(
+                            b_entry[side][k], lane,
+                            np.asarray(s_entry[side][k])[0])
+                        for k in b_entry[side]
+                    }
+                layers.append(new_entry)
+        else:
+            layers = cache["layers"]
+        new_len = self._lane_write(cache["length"], lane, np.int32(length))
+        self.cache = {"layers": layers, "length": new_len}
+
+    def _sync_tokens(self) -> None:
+        """Allgather each host's owned rows of the next-token buffer so all
+        replicated decode inputs are identical on every process.  Payload =
+        [lane_start, owned tokens...] per host, so lane ownership order need
+        not match process order."""
+        from jax.experimental import multihost_utils
+
+        lo, hi = self.local_lanes.start, self.local_lanes.stop
+        payload = np.concatenate(
+            [[np.int32(lo)], self.tokens[lo:hi, 0].astype(np.int32)])
+        rows = np.asarray(multihost_utils.process_allgather(payload))
+        for r in np.atleast_2d(rows):
+            start = int(r[0])
+            self.tokens[start : start + len(r) - 1, 0] = r[1:]
+
     def step(self) -> int:
         """Admit + prefill new requests, run one decode step for all lanes.
-        Returns the number of active (host-local) lanes stepped. Scheduler
-        lanes are host-local; global lane = local + local_lanes.start."""
-        base = self.local_lanes.start
-        # admission
+        Returns the number of active lanes stepped."""
+        lo, hi = self.local_lanes.start, self.local_lanes.stop
+        pending = []  # multi-process: (rid, lane) whose first token syncs below
+        # admission (the global scheduler makes the same decisions on every
+        # process; only the owning host computes a lane's prefill)
         for rid, lane in self.sched.admit():
             prompt = self._prompts.pop(rid)
             if self.prefill_chunks_per_step is not None:
@@ -322,16 +400,31 @@ class ServingEngine:
                     "cache": self.prefill_engine.init_cache(),
                 }
                 continue
+            if self._nproc > 1:
+                if lo <= lane < hi:
+                    logits, single_cache = self.prefill_engine.prefill_auto(prompt)
+                    self._insert_hostside(lane, single_cache, prompt.shape[1])
+                    self.tokens[lane, 0] = int(np.asarray(
+                        jnp.argmax(logits[0, -1])))
+                else:
+                    self._insert_hostside(lane, None, prompt.shape[1])
+                pending.append((rid, lane))
+                continue
             logits, single_cache = self.prefill_engine.prefill_auto(prompt)
             first_tok = int(np.asarray(jnp.argmax(logits[0, -1])))
-            self.cache = self._insert(self.cache, single_cache, lane=base + lane)
-            self.tokens[base + lane, 0] = first_tok
+            self.cache = self._insert(self.cache, single_cache, lane=lane)
+            self.tokens[lane, 0] = first_tok
             self.outputs[rid].append(first_tok)
-            done = self.sched.on_token(lane, self._is_eos(first_tok))
-            if done:
-                continue
+            self.sched.on_token(lane, self._is_eos(first_tok))
 
-        self._advance_prefills(base)
+        if pending:
+            self._sync_tokens()
+            for rid, lane in pending:
+                tok = int(self.tokens[lane, 0])
+                self.outputs[rid].append(tok)
+                self.sched.on_token(lane, self._is_eos(tok))
+
+        self._advance_prefills()
 
         active = self.sched.active()
         n_active = sum(1 for a in active if a != -1)
@@ -343,21 +436,27 @@ class ServingEngine:
         # Lanes still mid-prefill (inflight) are masked out: their lane cache
         # is not inserted yet and they have no token to feed.
         mask = np.zeros((self.engine.ecfg.batch,), np.bool_)
-        mask[base : base + len(active)] = [
+        mask[: len(active)] = [
             a != -1 and a not in self._inflight for a in active
         ]
         logits, self.cache = self.engine.decode(self.tokens, self.cache, active=mask)
-        next_toks = np.asarray(jnp.argmax(logits[:, -1], axis=-1))
+        if self._nproc > 1:
+            from jax.experimental import multihost_utils
+
+            next_toks = np.asarray(multihost_utils.process_allgather(
+                self._argmax(logits), tiled=True))
+        else:
+            next_toks = np.asarray(self._argmax(logits))
         for lane, rid in enumerate(active):
             if rid == -1 or rid in self._inflight:
                 continue
-            tok = int(next_toks[base + lane])
+            tok = int(next_toks[lane])
             self.outputs[rid].append(tok)
-            self.tokens[base + lane, 0] = tok
+            self.tokens[lane, 0] = tok
             self.sched.on_token(lane, self._is_eos(tok))
         return n_active
 
-    def _advance_prefills(self, base: int) -> None:
+    def _advance_prefills(self) -> None:
         """Advance each in-flight chunked prefill by up to
         prefill_chunks_per_step chunks; insert completed prompts into their
         lane and emit the first token."""
@@ -387,8 +486,8 @@ class ServingEngine:
             sc["length"] = jnp.full((1,), total, jnp.int32)
             first_tok = int(np.asarray(jnp.argmax(last[0, -1])))
             lane = st["lane"]
-            self.cache = self._insert(self.cache, sc, lane=base + lane)
-            self.tokens[base + lane, 0] = first_tok
+            self.cache = self._insert(self.cache, sc, lane=lane)
+            self.tokens[lane, 0] = first_tok
             self.outputs[rid].append(first_tok)
             self.sched.on_token(lane, self._is_eos(first_tok))
             del self._inflight[rid]

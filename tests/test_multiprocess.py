@@ -23,9 +23,9 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_pod_mesh_engine():
+def _run_two_workers(worker_file: str, ok_tag: str) -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    worker = os.path.join(repo, "tests", "mp_worker.py")
+    worker = os.path.join(repo, "tests", worker_file)
     port = _free_port()
 
     env = dict(os.environ)
@@ -58,4 +58,12 @@ def test_two_process_pod_mesh_engine():
 
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
-        assert f"MP_OK {i}" in out, f"worker {i} did not report success:\n{out}"
+        assert f"{ok_tag} {i}" in out, f"worker {i} did not report success:\n{out}"
+
+
+def test_two_process_pod_mesh_engine():
+    _run_two_workers("mp_worker.py", "MP_OK")
+
+
+def test_two_process_continuous_batching():
+    _run_two_workers("mp_serving_worker.py", "MP_SERVING_OK")
