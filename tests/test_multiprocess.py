@@ -13,6 +13,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 
 
 def _free_port() -> int:
@@ -23,19 +24,10 @@ def _free_port() -> int:
     return port
 
 
-def _run_two_workers(worker_file: str, ok_tag: str) -> None:
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    worker = os.path.join(repo, "tests", worker_file)
-    port = _free_port()
-
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    # fresh processes must not inherit the parent's multihost identity
-    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
-        env.pop(k, None)
-
+def _launch_and_reap(worker: str, env, port: int, deadline_s: float):
+    """Start both workers and wait on ONE shared deadline: if either dies
+    early the other is killed immediately instead of burning a full
+    per-process communicate() timeout."""
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(i), str(port)],
@@ -46,15 +38,48 @@ def _run_two_workers(worker_file: str, ok_tag: str) -> None:
         )
         for i in range(2)
     ]
-    outs = []
+    deadline = time.monotonic() + deadline_s
     try:
-        for p in procs:
-            out, _ = p.communicate(timeout=540)
-            outs.append(out)
+        while time.monotonic() < deadline:
+            codes = [p.poll() for p in procs]
+            if all(c is not None for c in codes):
+                break
+            # one worker failed -> its peer will hang in the coordinator
+            # handshake or a collective; kill it now
+            if any(c not in (None, 0) for c in codes):
+                time.sleep(2)  # grace for the peer to exit on its own
+                break
+            time.sleep(0.5)
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    outs = [p.communicate()[0] for p in procs]
+    return procs, outs
+
+
+def _run_two_workers(worker_file: str, ok_tag: str) -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", worker_file)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # fresh processes must not inherit the parent's multihost identity
+    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        env.pop(k, None)
+
+    # _free_port is best-effort (the port is released before the workers
+    # bind it); retry once on a coordinator bind collision
+    for attempt in range(2):
+        procs, outs = _launch_and_reap(worker, env, _free_port(), 540)
+        bind_race = any(
+            p.returncode != 0 and "Failed to bind" in out
+            for p, out in zip(procs, outs)
+        )
+        if not bind_race or attempt == 1:
+            break
 
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"

@@ -3,14 +3,15 @@ chip, and the aggregate tokens/s, palu 4-bit latents vs dense bf16 KV.
 
 The reference's latency protocol is bs=1 (run_latency_attention.py:57-106);
 serving throughput per chip is set by how many concurrent contexts the HBM
-holds.  At 64K: dense bf16 KV = 2.1 GB/lane (7 lanes ~= HBM), palu 4-bit
-latents = 0.14 GB/lane.  This tool measures chained-scan decode TPOT at the
-headline operating point (32 heads, hd 128, rank_k 1024, rank_v 3072, gs 4)
-for a batch grid, reporting aggregate tok/s per variant; OOM rows are
-reported as such.
+holds.  At 64K: dense bf16 KV = 1.0 GiB/lane (HBM exhausts above ~14
+lanes), palu 4-bit latents = 0.13 GiB/lane.  This tool measures
+chained-scan decode TPOT at the headline operating point (32 heads, hd 128,
+rank_k 1024, rank_v 3072, gs 4) for a batch grid, reporting aggregate tok/s
+per variant; OOM rows are reported as such.
 
 Usage: python tools/tpu_batch_bench.py [bs...]   (default 1 4 8 16)
-Env: SEQ (65536), CHAIN (96), BS_BLOCK (1024/2048 per variant defaults)
+Env: SEQ (65536, must divide by both blocks), CHAIN (96),
+     PALU_BLOCK (2048), DENSE_BLOCK (1024)
 """
 import functools
 import os
@@ -33,6 +34,12 @@ from palu_tpu.ops.pallas.palu_decode4 import palu_flash_decode4_quantized
 
 seq = int(os.environ.get("SEQ", 65536))
 NCH = int(os.environ.get("CHAIN", 96))
+PALU_BLOCK = int(os.environ.get("PALU_BLOCK", 2048))
+DENSE_BLOCK = int(os.environ.get("DENSE_BLOCK", 1024))
+assert seq % PALU_BLOCK == 0 and seq % DENSE_BLOCK == 0, (
+    f"SEQ={seq} must be a multiple of both block sizes "
+    f"({PALU_BLOCK}, {DENSE_BLOCK}); a remainder would silently drop the "
+    f"sequence tail from the dense baseline")
 g, hpg, rk, rv, hd = 8, 4, 128, 384, 128
 nh = g * hpg
 batches = [int(x) for x in (sys.argv[1:] or ["1", "4", "8", "16"])]
@@ -62,7 +69,7 @@ def time_chained(fn, q0, args):
     return min(reps) * 1e6, compile_s
 
 
-def run_palu(bs, block_s=2048):
+def run_palu(bs, block_s=PALU_BLOCK):
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 4)
     q0 = jax.random.normal(ks[0], (bs, nh, hd), jnp.bfloat16)
@@ -73,11 +80,13 @@ def run_palu(bs, block_s=2048):
     x_v = jax.random.normal(ks[3], (1, g, seq, rv), jnp.bfloat16)
     kc, kss, _ = qm.quantize_affine(x_k, qc)
     vc, vss, _ = qm.quantize_affine(x_v, qc)
+    pk = qm.pack_codes_t(kc, 4)
+    pv = qm.pack_codes_t(vc, 4)
     args = (
         b_k,
-        jnp.broadcast_to(qm.pack_codes_t(kc, 4), (bs,) + qm.pack_codes_t(kc, 4).shape[1:]).copy(),
+        jnp.broadcast_to(pk, (bs,) + pk.shape[1:]).copy(),
         jnp.broadcast_to(kss[..., 0], (bs, g, seq)).copy(),
-        jnp.broadcast_to(qm.pack_codes_t(vc, 4), (bs,) + qm.pack_codes_t(vc, 4).shape[1:]).copy(),
+        jnp.broadcast_to(pv, (bs,) + pv.shape[1:]).copy(),
         jnp.broadcast_to(vss[..., 0], (bs, g, seq)).copy(),
         jnp.full((bs,), seq, jnp.int32),
     )
@@ -86,7 +95,7 @@ def run_palu(bs, block_s=2048):
     return time_chained(fn, q0, args)
 
 
-def run_dense(bs, chunk=1024):
+def run_dense(bs, chunk=DENSE_BLOCK):
     """Seq-blocked online-softmax decode over a dense bf16 KV cache — the
     same baseline formulation as bench.py's dense step, batched."""
     key = jax.random.PRNGKey(1)
