@@ -137,13 +137,17 @@ def flash_decode_latent(
     else:
         inv_freq = jnp.asarray(inv_freq, jnp.float32)
 
+    # matmul operands in the caller's compute dtype (bf16 MXU rate is ~8x
+    # fp32 on TPU) with fp32 accumulation; softmax statistics stay fp32
+    cdt = q.dtype
+
     def body(carry, idx):
         m, l, acc = carry
-        xk = read_k_chunk(idx).astype(jnp.float32)  # (B, G, C, rk)
-        xv = read_v_chunk(idx).astype(jnp.float32)  # (B, G, C, rv)
+        xk = read_k_chunk(idx).astype(cdt)  # (B, G, C, rk)
+        xv = read_v_chunk(idx).astype(cdt)  # (B, G, C, rv)
         # reconstruct K block: (B, G, hpg, C, hd)
         kblk = jnp.einsum(
-            "bgcr,ghrd->bghcd", xk, b_k.astype(jnp.float32),
+            "bgcr,ghrd->bghcd", xk, b_k.astype(cdt),
             preferred_element_type=jnp.float32,
         )
         if k_bias is not None:  # qwen2: K = lat @ U + b, bias pre-RoPE
@@ -158,7 +162,7 @@ def flash_decode_latent(
         kblk = kblk * cos + krot * sin
         # logits (B, G, hpg, C)
         logits = jnp.einsum(
-            "bghd,bghcd->bghc", q_g.astype(jnp.float32), kblk,
+            "bghd,bghcd->bghc", q_g.astype(cdt), kblk.astype(cdt),
             preferred_element_type=jnp.float32,
         ) / np.sqrt(head_dim)
         valid = pos[None, :] < kv_len[:, None]  # (B, C)
@@ -175,7 +179,8 @@ def flash_decode_latent(
         p = jnp.where(vmask, p, 0.0)
         l_new = l * alpha + jnp.sum(p, axis=-1)
         pv = jnp.einsum(
-            "bghc,bgcr->bghr", p, xv, preferred_element_type=jnp.float32
+            "bghc,bgcr->bghr", p.astype(cdt), xv,
+            preferred_element_type=jnp.float32,
         )
         acc_new = acc * alpha[..., None] + pv
         return (m_new, l_new, acc_new), None
@@ -224,12 +229,17 @@ def flash_prefill_latent(
     else:
         inv_freq = jnp.asarray(inv_freq, jnp.float32)
 
-    def body(carry, idx):
+    # matmul operands stay in the caller's compute dtype (bf16 on TPU: the
+    # MXU runs bf16 x bf16 -> fp32 at full rate, fp32 x fp32 at ~1/8) with
+    # fp32 ACCUMULATION; only the softmax statistics are materialized fp32.
+    cdt = q.dtype
+
+    def body(idx, carry):
         m, l, acc = carry
-        xk = read_k_chunk(idx).astype(jnp.float32)  # (B, G, C, rk)
-        xv = read_v_chunk(idx).astype(jnp.float32)  # (B, G, C, rv)
+        xk = read_k_chunk(idx).astype(cdt)  # (B, G, C, rk)
+        xv = read_v_chunk(idx).astype(cdt)  # (B, G, C, rv)
         kblk = jnp.einsum(
-            "bgcr,ghrd->bghcd", xk, b_k.astype(jnp.float32),
+            "bgcr,ghrd->bghcd", xk, b_k.astype(cdt),
             preferred_element_type=jnp.float32,
         )
         if k_bias is not None:
@@ -242,7 +252,7 @@ def flash_prefill_latent(
         krot = jnp.concatenate([-kblk[..., half:], kblk[..., :half]], axis=-1)
         kblk = kblk * cos + krot * sin
         logits = jnp.einsum(
-            "bghqd,bghcd->bghqc", q_g.astype(jnp.float32), kblk,
+            "bghqd,bghcd->bghqc", q_g.astype(cdt), kblk.astype(cdt),
             preferred_element_type=jnp.float32,
         ) / np.sqrt(head_dim)
         # causal: cache pos <= absolute q pos (offset + q_idx), per lane
@@ -258,14 +268,21 @@ def flash_prefill_latent(
         p = jnp.where(vmask, p, 0.0)
         l_new = l * alpha + jnp.sum(p, axis=-1)
         pv = jnp.einsum(
-            "bghqc,bgcr->bghqr", p, xv, preferred_element_type=jnp.float32
+            "bghqc,bgcr->bghqr", p.astype(cdt), xv,
+            preferred_element_type=jnp.float32,
         )
-        return (m_new, l_new, acc * alpha[..., None] + pv), None
+        return (m_new, l_new, acc * alpha[..., None] + pv)
 
     m0 = jnp.full((b, g, hpg, cq), -1e30, jnp.float32)
     l0 = jnp.zeros((b, g, hpg, cq), jnp.float32)
     acc0 = jnp.zeros((b, g, hpg, cq, rv), jnp.float32)
-    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(num_chunks))
+    # dynamic causal bound: chunks entirely after the last query position
+    # contribute nothing (their whole mask is false) and are skipped -- a
+    # fori_loop with a traced upper bound keeps ONE compiled executable for
+    # every (offset, cq) while halving total prefill chunk pairs
+    last_q = jnp.max(offset) + cq - 1
+    needed = jnp.minimum(last_q // chunk + 1, num_chunks).astype(jnp.int32)
+    m, l, acc = jax.lax.fori_loop(0, needed, body, (m0, l0, acc0))
     out = acc / l[..., None]  # (B, G, hpg, Cq, rv)
     return out.transpose(0, 3, 1, 2, 4).reshape(b, cq, nh, rv)
 
