@@ -1,0 +1,95 @@
+"""Int8 weight-only storage for serving.
+
+Orthogonal to Palu's KV compression (the reference compresses only the
+KV cache): decode at bs=1 is a chain of memory-bound GEMVs over the model
+weights, so storing the large dense projections as int8 with per-output-
+channel symmetric scales halves the weight bytes streamed per token AND
+halves the HBM they occupy. At the 7B/64K operating point that is the
+difference between "the 32-layer model does not fit beside the latent
+cache" (bf16 weights 14.3 GB + 4.5 GB 4-bit cache > 15.75 GB v5e HBM) and
+"it fits with room for batch lanes" (~7.8 GB + 4.5 GB); measured numbers in
+docs/BENCH.md ("true 32-layer 7B").
+
+Only the large dense matrices are quantized (q_proj, o_proj / fused
+o_proj, the MLP, lm_head). The Palu factors VT / U / b_k stay in the
+engine dtype: they are the accuracy-critical low-rank path, and the fused
+decode kernels consume b_k directly.
+
+Dequant happens inside the matmul: `x @ codes.astype(bf16)` lets XLA fuse
+the int8->bf16 convert into the dot's operand read (weight-only-quant
+pattern), then one scale row multiplies the (.., out) result. There is no
+separate dequantized copy of the weights in HBM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["quantize_weight", "is_quantized_weight", "wdot", "quantize_params"]
+
+
+def quantize_weight(w) -> dict:
+    """(in, out) float -> {"wq8": int8 codes, "ws": (1, out) f32 scales},
+    symmetric per-output-channel."""
+    wf = jnp.asarray(w, jnp.float32)
+    s = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-30)
+    return {"wq8": jnp.round(wf / s).astype(jnp.int8), "ws": s}
+
+
+def is_quantized_weight(w) -> bool:
+    return isinstance(w, dict) and "wq8" in w
+
+
+def wdot(x: jax.Array, w) -> jax.Array:
+    """x @ w over the last axis of x; w is either a plain array or a
+    quantized {"wq8", "ws"} dict."""
+    if is_quantized_weight(w):
+        # codes cast to the activation dtype (int8 values are exact in
+        # bf16/f32); the convert fuses into the dot's operand read on TPU
+        y = jax.lax.dot_general(
+            x, w["wq8"].astype(x.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (y * w["ws"]).astype(x.dtype)
+    return x @ w
+
+
+# params keys quantized by quantize_params: the large dense projections.
+_ATTN_KEYS = ("q_proj", "o_proj")
+_MLP_KEYS = ("gate", "up", "down")
+
+
+def quantize_params(params) -> dict:
+    """Return a copy of an engine params tree with the large dense weights
+    replaced by int8 codes+scales. VT/U (the low-rank factors), biases,
+    norms, and the embedding table are left untouched. Idempotent: leaves
+    that are already quantized pass through (e.g. a ServingEngine building
+    its batch-1 prefill engine from the serving engine's params)."""
+
+    def q(w):
+        return w if is_quantized_weight(w) else quantize_weight(w)
+
+    out = dict(params)
+    layers = []
+    for layer in params["layers"]:
+        layer = dict(layer)
+        attn = dict(layer["attn"])
+        for k in _ATTN_KEYS:
+            proj = dict(attn[k])
+            for wk in ("w", "w_fused"):
+                if proj.get(wk) is not None:
+                    proj[wk] = q(proj[wk])
+            attn[k] = proj
+        layer["attn"] = attn
+        mlp = dict(layer["mlp"])
+        for k in _MLP_KEYS:
+            mlp[k] = q(mlp[k])
+        layer["mlp"] = mlp
+        layers.append(layer)
+    out["layers"] = layers
+    if params.get("lm_head") is not None:
+        out["lm_head"] = q(params["lm_head"])
+    return out

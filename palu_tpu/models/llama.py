@@ -233,9 +233,13 @@ def attention_core(
 
 
 def mlp_forward(x: jax.Array, p: Params) -> jax.Array:
-    gate = x @ p["gate"]
-    up = x @ p["up"]
-    return (jax.nn.silu(gate) * up) @ p["down"]
+    # wdot == `@` for plain arrays; handles int8 weight-only storage
+    # (core/wquant, EngineConfig.weight_bits=8) transparently
+    from ..core.wquant import wdot
+
+    gate = wdot(x, p["gate"])
+    up = wdot(x, p["up"])
+    return wdot(jax.nn.silu(gate) * up, p["down"])
 
 
 def attn_forward(

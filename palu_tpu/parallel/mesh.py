@@ -53,11 +53,22 @@ def make_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:
     return Mesh(dev_array, ("data", "model"))
 
 
+def _wq_aware(leaf, ns, *spec):
+    """Sharding for a dense weight that may be int8-quantized (core/wquant):
+    codes get the weight's spec, the (1, out) scale row shards on the
+    weight's output axis."""
+    from ..core.wquant import is_quantized_weight
+
+    if is_quantized_weight(leaf):
+        return {"wq8": ns(*spec), "ws": ns(None, spec[-1] if spec else None)}
+    return ns(*spec)
+
+
 def _attn_shardings(attn: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     ns = lambda *spec: NamedSharding(mesh, P(*spec))
     out: Dict[str, Any] = {}
     # q_proj (H, nh*hd): column (head) parallel
-    out["q_proj"] = {"w": ns(None, "model")}
+    out["q_proj"] = {"w": _wq_aware(attn["q_proj"]["w"], ns, None, "model")}
     if attn["q_proj"].get("b") is not None:
         out["q_proj"]["b"] = ns("model")
     for which in ("k_proj", "v_proj"):
@@ -75,9 +86,11 @@ def _attn_shardings(attn: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
                 e["b"] = ns("model")
         out[which] = e
     # o_proj (nh*hd, H) and fused (nh*rv, H): row parallel -> psum
-    out["o_proj"] = {"w": ns("model", None)}
+    out["o_proj"] = {"w": _wq_aware(attn["o_proj"]["w"], ns, "model", None)}
     if "w_fused" in attn["o_proj"]:
-        out["o_proj"]["w_fused"] = ns("model", None)
+        out["o_proj"]["w_fused"] = _wq_aware(
+            attn["o_proj"]["w_fused"], ns, "model", None
+        )
     return out
 
 
@@ -92,9 +105,9 @@ def param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
                 "post_norm": ns(),
                 "attn": _attn_shardings(layer["attn"], mesh),
                 "mlp": {
-                    "gate": ns(None, "model"),
-                    "up": ns(None, "model"),
-                    "down": ns("model", None),
+                    "gate": _wq_aware(layer["mlp"]["gate"], ns, None, "model"),
+                    "up": _wq_aware(layer["mlp"]["up"], ns, None, "model"),
+                    "down": _wq_aware(layer["mlp"]["down"], ns, "model", None),
                 },
             }
         )
@@ -102,7 +115,8 @@ def param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
         "embed": ns(),
         "layers": layers,
         "final_norm": ns(),
-        "lm_head": None if params.get("lm_head") is None else ns(),
+        "lm_head": None if params.get("lm_head") is None
+        else _wq_aware(params["lm_head"], ns),
     }
 
 

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import quant
+from ..core import wquant
+from ..core.wquant import wdot
 from ..models import llama
 from ..models.config import ModelConfig
 from ..ops import attention as att_ops
@@ -56,6 +58,11 @@ class EngineConfig:
     # sequence-block size for the fused Pallas decode kernels; None uses
     # decode_chunk (rounded to a divisor of s_max)
     pallas_block: Optional[int] = None
+    # 16 = keep weights in `dtype`; 8 = store the large dense projections
+    # (q_proj, o_proj/fused, MLP, lm_head) as int8 codes + per-channel
+    # scales (core/wquant) -- halves weight HBM and weight-read time per
+    # decode step; the low-rank VT/U factors stay in `dtype`
+    weight_bits: int = 16
 
 
 def build_decode_b(u_k: np.ndarray, cfg: ModelConfig) -> jnp.ndarray:
@@ -124,6 +131,12 @@ class Engine:
             self._inv_freq_static = None
             self._rope_scale = 1.0
         self.derived = self._build_derived()
+        if ecfg.weight_bits == 8:
+            # after _build_derived (which folds full-precision o_proj into
+            # the qwen2 v-bias correction and b_k)
+            self.params = wquant.quantize_params(self.params)
+        elif ecfg.weight_bits != 16:
+            raise ValueError(f"weight_bits must be 16 or 8, got {ecfg.weight_bits}")
         self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(1,))
         self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,))
 
@@ -165,7 +178,15 @@ class Engine:
                     for hj in range(hpg):
                         j_local = hj // rep
                         per_qhead[gi * hpg + hj] = bv[gi, j_local * hd : (j_local + 1) * hd]
-                o_w = np.asarray(attn["o_proj"]["w"], np.float32)  # (nh*hd, H)
+                o_w = attn["o_proj"]["w"]  # (nh*hd, H)
+                if wquant.is_quantized_weight(o_w):
+                    # engine built from already-quantized params (e.g. the
+                    # ServingEngine's shared-params prefill engine)
+                    o_w = np.asarray(o_w["wq8"], np.float32) * np.asarray(
+                        o_w["ws"], np.float32
+                    )
+                else:
+                    o_w = np.asarray(o_w, np.float32)
                 corr = per_qhead.reshape(-1) @ o_w  # (H,)
                 entry["o_bias_corr"] = jnp.asarray(corr, self.ecfg.dtype)
             derived.append(entry)
@@ -200,7 +221,7 @@ class Engine:
             attn = p_layer["attn"]
             h = llama.rms_norm(x, p_layer["input_norm"], cfg.rms_norm_eps)
 
-            q = h @ attn["q_proj"]["w"]
+            q = wdot(h, attn["q_proj"]["w"])
             if attn["q_proj"].get("b") is not None:
                 q = q + attn["q_proj"]["b"]
             q = q.reshape(b, s, nh, hd)
@@ -248,7 +269,7 @@ class Engine:
                 v = llama.reconstruct_kv(lat_q, attn["v_proj"]).reshape(b, s, nkv, hd)
 
             attn_out = att_ops.mha_prefill(q, k, v, cfg.sliding_window)
-            x = x + attn_out @ attn["o_proj"]["w"]
+            x = x + wdot(attn_out, attn["o_proj"]["w"])
 
             h2 = llama.rms_norm(x, p_layer["post_norm"], cfg.rms_norm_eps)
             x = x + llama.mlp_forward(h2, p_layer["mlp"])
@@ -257,7 +278,7 @@ class Engine:
         x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
         x_last = jnp.take_along_axis(x, last_pos[:, None, None], axis=1)  # (B,1,H)
-        logits = x_last @ lm_head
+        logits = wdot(x_last, lm_head)
         new_cache = {"layers": new_layers, "length": (last_pos + 1).astype(jnp.int32)}
         return logits, new_cache
 
@@ -284,7 +305,7 @@ class Engine:
                 raise NotImplementedError("chunked prefill requires low-rank k/v")
             h = llama.rms_norm(x, p_layer["input_norm"], cfg.rms_norm_eps)
 
-            q = h @ attn["q_proj"]["w"]
+            q = wdot(h, attn["q_proj"]["w"])
             if attn["q_proj"].get("b") is not None:
                 q = q + attn["q_proj"]["b"]
             q = q.reshape(b, s, nh, hd)
@@ -316,7 +337,7 @@ class Engine:
                 inv_freq=self._inv_freq, rope_scale=self._rope_scale,
             )  # (B, s, nh, rv)
             attn_out = lat_out.astype(ecfg.dtype).reshape(b, s, nh * rv)
-            delta = attn_out @ attn["o_proj"]["w_fused"]
+            delta = wdot(attn_out, attn["o_proj"]["w_fused"])
             if "o_bias_corr" in der:
                 delta = delta + der["o_bias_corr"]
             x = x + delta
@@ -327,7 +348,7 @@ class Engine:
 
         x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
-        logits = x @ lm_head  # (B, s, V) -- caller picks the last real token
+        logits = wdot(x, lm_head)  # (B, s, V) -- caller picks the last real token
         new_cache = {"layers": new_layers, "length": offset + s}
         return logits, new_cache
 
@@ -414,7 +435,7 @@ class Engine:
             attn = p_layer["attn"]
             h = llama.rms_norm(x, p_layer["input_norm"], cfg.rms_norm_eps)
 
-            q = h @ attn["q_proj"]["w"]
+            q = wdot(h, attn["q_proj"]["w"])
             if attn["q_proj"].get("b") is not None:
                 q = q + attn["q_proj"]["b"]
             q = q.reshape(b, 1, nh, hd)
@@ -461,7 +482,7 @@ class Engine:
 
         x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
-        logits = x @ lm_head
+        logits = wdot(x, lm_head)
         new_cache = {"layers": new_layers, "length": kv_len}
         return logits, new_cache
 
@@ -474,7 +495,7 @@ class Engine:
         if k_dense and v_dense:
             # dense fallback: flash decode over full KV
             out = self._dense_flash_decode(q, entry, kv_len, chunk, num_chunks)
-            return out @ attn["o_proj"]["w"]
+            return wdot(out, attn["o_proj"]["w"])
 
         rk = attn["k_proj"]["U"].shape[1]
         rv = attn["v_proj"]["U"].shape[1]
@@ -501,7 +522,7 @@ class Engine:
                 rope_scale=self._rope_scale,
             )
             lat_out = lat_out.astype(ecfg.dtype).reshape(b, nh * rv)
-            out = lat_out @ attn["o_proj"]["w_fused"]
+            out = wdot(lat_out, attn["o_proj"]["w_fused"])
             if "o_bias_corr" in der:
                 out = out + der["o_bias_corr"]
             return out
@@ -606,7 +627,7 @@ class Engine:
             else:
                 lat_out = kernel_call(q, der["b_k"], entry["k"], entry["v"], kv_len)
             lat_out = lat_out.astype(ecfg.dtype).reshape(b, nh * rv)
-            out = lat_out @ attn["o_proj"]["w_fused"]
+            out = wdot(lat_out, attn["o_proj"]["w_fused"])
             if "o_bias_corr" in der:
                 out = out + der["o_bias_corr"]
             return out
@@ -636,7 +657,7 @@ class Engine:
             rope_scale=self._rope_scale,
         )  # (B, nh, rv)
         lat_out = lat_out.astype(ecfg.dtype).reshape(b, nh * rv)
-        out = lat_out @ attn["o_proj"]["w_fused"]
+        out = wdot(lat_out, attn["o_proj"]["w_fused"])
         if "o_bias_corr" in der:
             out = out + der["o_bias_corr"]
         return out

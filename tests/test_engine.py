@@ -357,3 +357,90 @@ def test_engine_long_prompt_chunked_prefill_matches_forward():
     # two decode steps continue correctly past the prompt
     step1, cache = eng.decode(ids[:, -1:], cache)
     assert np.isfinite(np.asarray(step1)).all()
+
+
+def test_engine_weight_bits8_matches_dequantized_reference():
+    """EngineConfig.weight_bits=8 (int8 weight-only storage, core/wquant):
+    the engine must compute exactly what a bf16/f32 engine computes over the
+    DEQUANTIZED weights -- i.e. the int8 machinery adds no error beyond the
+    quantization itself. Covers prefill, chunked prefill, and decode."""
+    from palu_tpu.core import wquant
+
+    params, cfg = _lowrank_model(seed=7, rank=8, gs=2)
+    ids = np.random.default_rng(7).integers(0, cfg.vocab_size, (1, 16))
+    ecfg = EngineConfig(s_max=32, dtype=jnp.float32, decode_chunk=8)
+
+    eng8 = Engine(params, cfg, dataclasses.replace(ecfg, weight_bits=8))
+    # some weights must actually be int8 now
+    assert wquant.is_quantized_weight(
+        eng8.params["layers"][0]["attn"]["q_proj"]["w"]
+    )
+    assert wquant.is_quantized_weight(eng8.params["layers"][0]["mlp"]["gate"])
+
+    def deq(tree):
+        if wquant.is_quantized_weight(tree):
+            return (tree["wq8"].astype(jnp.float32) * tree["ws"]).astype(
+                jnp.float32
+            )
+        if isinstance(tree, dict):
+            return {k: deq(v) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [deq(v) for v in tree]
+        return tree
+
+    eng_ref = Engine(deq(eng8.params), cfg, ecfg)
+
+    step8 = _stepwise_logits(eng8, ids)
+    step_ref = _stepwise_logits(eng_ref, ids)
+    assert np.isfinite(step8).all()
+    assert np.allclose(step8, step_ref, atol=1e-3), np.abs(step8 - step_ref).max()
+
+    # chunked prefill (the serving path) under int8 weights
+    lg8, _ = eng8.prefill_chunked(ids, chunk_size=8)
+    lgr, _ = eng_ref.prefill_chunked(ids, chunk_size=8)
+    assert np.allclose(np.asarray(lg8), np.asarray(lgr), atol=1e-3)
+
+    # generate end to end
+    out = eng8.generate(ids, max_new_tokens=4)
+    assert out.shape == (1, 4)
+
+
+def test_param_shardings_cover_quantized_weights():
+    """param_shardings must mirror the {wq8, ws} structure of int8 weights
+    so a weight_bits=8 engine composes with the TP mesh."""
+    from palu_tpu.core import wquant
+    from palu_tpu.parallel import mesh as mesh_lib
+
+    params, cfg = _lowrank_model(seed=8, rank=8, gs=2)
+    qparams = wquant.quantize_params(params)
+    mesh = mesh_lib.make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    sh = mesh_lib.param_shardings(qparams, mesh)
+    # structures must match exactly for shard_tree/device_put
+    jax.tree.map(lambda a, b: None, qparams, sh)
+    sharded = mesh_lib.shard_tree(qparams, sh)
+    l0 = sharded["layers"][0]
+    assert wquant.is_quantized_weight(l0["attn"]["q_proj"]["w"])
+
+
+def test_engine_weight_bits8_qwen2_and_rebuild():
+    """qwen2 (attention_bias) engines under int8 weights: the o_bias_corr
+    derivation must handle quantized o_proj, including an Engine rebuilt
+    from already-quantized params (ServingEngine's prefill engine)."""
+    cfg_kw = dict(num_key_value_heads=4)
+    cfg = _tiny_cfg(**cfg_kw)
+    cfg = dataclasses.replace(cfg, attention_bias=True, model_family="qwen2")
+    params = llama.init_params(cfg, jax.random.key(9))
+    sel = {}
+    for i in range(cfg.num_hidden_layers):
+        sel[f"model.layers.{i}.self_attn.k_proj"] = [16] * 2
+        sel[f"model.layers.{i}.self_attn.v_proj"] = [16] * 2
+    lr_params, lr_cfg = compress_params(params, cfg, sel, "svd", head_group_size=2)
+    ecfg = EngineConfig(s_max=32, dtype=jnp.float32, decode_chunk=8, weight_bits=8)
+    eng = Engine(lr_params, lr_cfg, ecfg)
+    # rebuild from the quantized params (idempotent path)
+    eng2 = Engine(eng.params, lr_cfg, ecfg)
+    ids = np.random.default_rng(9).integers(0, lr_cfg.vocab_size, (1, 12))
+    a = _stepwise_logits(eng, ids)
+    b = _stepwise_logits(eng2, ids)
+    assert np.isfinite(a).all()
+    assert np.allclose(a, b, atol=1e-5)

@@ -22,8 +22,15 @@ kernel) at SEQ (default 65536); dense at DENSE_SEQ (default 4096).
 Timing: N decode steps chained in one lax.scan executable, one host fetch
 (docs/BENCH.md methodology).
 
+WBITS=8 stores every large weight matrix as int8 with per-output-channel
+symmetric scales (dequant fused into the matmul by XLA as a convert on the
+operand read). That halves weight bytes, letting the TRUE 32-layer 7B config
+fit beside a 64K 4-bit latent cache (bf16 weights alone are 14.3 GB at 32L;
+int8 is ~7.8 GB) — the 7B tokens/s figure then needs no per-layer
+extrapolation.
+
 Usage: python tools/tpu_model_bench.py [variants...]   (default: palu3 dense)
-Env: LAYERS=24 SEQ=65536 DENSE_SEQ=4096 STEPS=50
+Env: LAYERS=24 SEQ=65536 DENSE_SEQ=4096 STEPS=50 WBITS=16
 """
 import sys, os, time, functools, json
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
@@ -53,6 +60,29 @@ GS, G = 4, 8
 RK, RV = 128, 384  # per group (totals 1024 / 3072)
 HPG = NH // G
 THETA = 10000.0
+WBITS = int(os.environ.get("WBITS", 16))  # 16 = bf16, 8 = int8 weight storage
+
+
+def wq8_random(key, shape, s=0.02):
+    """Random (L,)+shape weights generated AND int8-quantized one layer at a
+    time (lax.map) so the full-precision stack never materializes -- at 32
+    layers the bf16 originals alone (14.3 GB) would OOM the chip."""
+    def one(k):
+        w = jax.random.normal(k, shape, jnp.float32) * s
+        sc = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
+        return jnp.round(w / sc).astype(jnp.int8), sc.astype(jnp.float32)
+    q, sc = jax.lax.map(one, jax.random.split(key, L))
+    return {"q": q, "s": sc}
+
+
+def mm(h, w):
+    """h @ w where w is bf16 (L stripped) or an int8 {q, s} dict."""
+    if isinstance(w, dict):
+        y = jax.lax.dot_general(
+            h, w["q"].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (y * w["s"]).astype(jnp.bfloat16)
+    return h @ w
 
 
 def log(*a):
@@ -62,7 +92,12 @@ def log(*a):
 def stacked_weights(key, dense_kv: bool):
     """Per-layer weights stacked on a leading L axis, built on device."""
     ks = iter(jax.random.split(key, 24))
-    nrm = lambda shape, s=0.02: (jax.random.normal(next(ks), (L,) + shape, jnp.bfloat16) * s)
+    nrm_bf16 = lambda shape, s=0.02: (jax.random.normal(next(ks), (L,) + shape, jnp.bfloat16) * s)
+    if WBITS == 8:
+        nrm = lambda shape, s=0.02: jax.jit(
+            wq8_random, static_argnums=(1,))(next(ks), shape, s)
+    else:
+        nrm = nrm_bf16
     w = {
         "ln1": jnp.ones((L, H), jnp.bfloat16),
         "ln2": jnp.ones((L, H), jnp.bfloat16),
@@ -78,7 +113,7 @@ def stacked_weights(key, dense_kv: bool):
     else:
         w["vt_k"] = nrm((H, G * RK))
         w["vt_v"] = nrm((H, G * RV))
-        w["b_k"] = nrm((G, HPG, RK, HD), 0.05)
+        w["b_k"] = nrm_bf16((G, HPG, RK, HD), 0.05)  # kernel operand: bf16
         w["wo_fused"] = nrm((NH * RV, H))
     return w
 
@@ -138,10 +173,10 @@ def build_palu(bits):
             x, cache = carry
             wl, l = inp
             h = rms(x, wl["ln1"])
-            q = (h @ wl["wq"]).reshape(1, NH, HD)
+            q = mm(h, wl["wq"]).reshape(1, NH, HD)
             q = rope_q(q, pos)
-            lat_k = (h @ wl["vt_k"]).reshape(1, G, 1, RK)
-            lat_v = (h @ wl["vt_v"]).reshape(1, G, 1, RV)
+            lat_k = mm(h, wl["vt_k"]).reshape(1, G, 1, RK)
+            lat_v = mm(h, wl["vt_v"]).reshape(1, G, 1, RV)
             kc2, ks2, _kz2 = qm.quantize_affine(lat_k, qc)
             vc2, vs2, _vz2 = qm.quantize_affine(lat_v, qc)
             kcp = qm.pack_codes_t(kc2, bits)[:, :, :, 0]  # (1, G, nrk)
@@ -167,9 +202,9 @@ def build_palu(bits):
                 qcfg=qc, rk=RK, rv=RV, block_s=BLOCK_S, theta=THETA,
                 interpret=INTERP,
             )  # (1, NH, RV)
-            x = x + lat_out.astype(jnp.bfloat16).reshape(1, NH * RV) @ wl["wo_fused"]
+            x = x + mm(lat_out.astype(jnp.bfloat16).reshape(1, NH * RV), wl["wo_fused"])
             h2 = rms(x, wl["ln2"])
-            x = x + (jax.nn.silu(h2 @ wl["gate"]) * (h2 @ wl["up"])) @ wl["down"]
+            x = x + mm(jax.nn.silu(mm(h2, wl["gate"])) * mm(h2, wl["up"]), wl["down"])
             return (x, cache), ()
 
         (x, cache), _ = jax.lax.scan(layer, (x, cache), (w, jnp.arange(L)))
@@ -211,9 +246,9 @@ def build_dense():
             x, cache = carry
             wl, l = inp
             h = rms(x, wl["ln1"])
-            q = rope_q((h @ wl["wq"]).reshape(1, NH, HD), pos)
-            k_new = rope_q((h @ wl["wk"]).reshape(1, NH, HD), pos)
-            v_new = (h @ wl["wv"]).reshape(1, NH, HD)
+            q = rope_q(mm(h, wl["wq"]).reshape(1, NH, HD), pos)
+            k_new = rope_q(mm(h, wl["wk"]).reshape(1, NH, HD), pos)
+            v_new = mm(h, wl["wv"]).reshape(1, NH, HD)
             p = pos[0]
             cache = {
                 "k": jax.lax.dynamic_update_slice(
@@ -248,9 +283,9 @@ def build_dense():
             (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0),
                                           jnp.arange(s_max // chunk))
             att = (acc / l[..., None]).astype(jnp.bfloat16).reshape(1, NH * HD)
-            x = x + att @ wl["wo"]
+            x = x + mm(att, wl["wo"])
             h2 = rms(x, wl["ln2"])
-            x = x + (jax.nn.silu(h2 @ wl["gate"]) * (h2 @ wl["up"])) @ wl["down"]
+            x = x + mm(jax.nn.silu(mm(h2, wl["gate"])) * mm(h2, wl["up"]), wl["down"])
             return (x, cache), ()
 
         (x, cache), _ = jax.lax.scan(layer, (x, cache), (w, jnp.arange(L)))
