@@ -28,6 +28,8 @@ def main():
     parser.add_argument("--group_size", type=int, default=4)
     parser.add_argument("--rank", type=int, default=128)
     parser.add_argument("--lt_bits", type=int, default=16)
+    parser.add_argument("--weight_bits", type=int, default=16,
+                        help="8 = int8 weight-only storage (core/wquant)")
     parser.add_argument("--vocab_size", type=int, default=32000)
     parser.add_argument("--decode_chunk", type=int, default=256)
     parser.add_argument("--use_cpu", action="store_true")
@@ -66,7 +68,8 @@ def main():
     srv = ServingEngine(
         params, cfg,
         EngineConfig(s_max=args.s_max, batch=args.lanes, dtype=jnp.bfloat16,
-                     qcfg=qcfg, decode_chunk=args.decode_chunk),
+                     qcfg=qcfg, decode_chunk=args.decode_chunk,
+                     weight_bits=args.weight_bits),
     )
 
     rng = np.random.default_rng(0)

@@ -146,6 +146,7 @@ def test_serve_bench_cli_smoke(monkeypatch, capsys):
         "--num_layers", "1", "--num_heads", "4", "--head_dim", "32",
         "--group_size", "2", "--rank", "16", "--vocab_size", "64",
         "--decode_chunk", "32", "--use_cpu", "--json",
+        "--weight_bits", "8",
     ])
     from palu_tpu.cli.serve_bench import main
 
