@@ -246,3 +246,33 @@ def test_pipeline_parallel_forward_matches_single():
     fn = pp.stage_sharded_forward(params, 4, mesh, layer_fn, pre_fn, post_fn)
     out = np.asarray(fn(jnp.asarray(ids)))
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_serving_sharded_int8_weights_matches_unsharded():
+    """weight_bits=8 composed with the TP mesh: the sharded serving engine
+    (quantization-aware param shardings, shard_map Pallas decode, 4-bit
+    lane cache) produces the same tokens as the unsharded int8-weight
+    engine."""
+    from palu_tpu.runtime.serving import ServingEngine
+
+    params, cfg = _model(seed=11)
+    qcfg = QuantConfig(bits=4, group_size=0, sym=True)
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)) for n in (5, 6, 4)]
+
+    def run(mesh):
+        ecfg = EngineConfig(
+            s_max=16, batch=4, dtype=jnp.float32, decode_chunk=8, qcfg=qcfg,
+            use_pallas=mesh is not None, pallas_interpret=True, mesh=mesh,
+            weight_bits=8,
+        )
+        srv = ServingEngine(params, cfg, ecfg, prefer_native=False)
+        for rid, p in enumerate(prompts):
+            srv.submit(rid, p, max_new_tokens=4)
+        return srv.run_until_done(max_steps=50)
+
+    ref = run(None)
+    out = run(make_mesh(data=2, model=4))
+    assert set(ref) == set(out)
+    for rid in ref:
+        assert ref[rid] == out[rid], (rid, ref[rid], out[rid])
