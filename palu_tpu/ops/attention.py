@@ -210,13 +210,23 @@ def flash_prefill_latent(
     k_bias: Optional[jax.Array] = None,  # (G, hpg, hd)
     inv_freq=None,
     rope_scale: float = 1.0,
+    b_v: Optional[jax.Array] = None,  # (G, hpg, rv, hd) -> reconstruct V
+    v_bias: Optional[jax.Array] = None,  # (G, hpg, hd)
 ) -> jax.Array:
-    """Chunked-prefill attention over the latent cache -> (B, Cq, nh, rv).
+    """Chunked-prefill attention over the latent cache -> (B, Cq, nh, rv),
+    or (B, Cq, nh, hd) when `b_v` is given.
 
     The q-block generalization of flash_decode_latent: each query position
     offset+i attends cache positions <= offset+i (causal across and within
     the chunk). Used by Engine.prefill_chunked so a 64K prompt streams
     through in fixed-size pieces with O(chunk^2) activation memory.
+
+    Value path: decode keeps V in latent space (probs @ latents, rv per
+    group) because one query amortizes nothing; at PREFILL every kv block
+    is hit by a whole q-chunk, so reconstructing V (b_v, like b_k for K)
+    and attending at head_dim is ~3x fewer PV flops at the headline shape
+    (rv=384 vs hd=128) and feeds the 3x-narrower unfused o_proj. Pass b_v
+    to select it.
     """
     b, cq, nh, hd = q.shape
     g, hpg = b_k.shape[0], b_k.shape[1]
@@ -267,15 +277,28 @@ def flash_prefill_latent(
         p = jnp.exp(logits - m_new[..., None])
         p = jnp.where(vmask, p, 0.0)
         l_new = l * alpha + jnp.sum(p, axis=-1)
-        pv = jnp.einsum(
-            "bghqc,bgcr->bghqr", p.astype(cdt), xv,
-            preferred_element_type=jnp.float32,
-        )
+        if b_v is not None:
+            vblk = jnp.einsum(
+                "bgcr,ghrd->bghcd", xv, b_v.astype(cdt),
+                preferred_element_type=jnp.float32,
+            )
+            if v_bias is not None:
+                vblk = vblk + v_bias.astype(jnp.float32)[None, :, :, None, :]
+            pv = jnp.einsum(
+                "bghqc,bghcd->bghqd", p.astype(cdt), vblk.astype(cdt),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            pv = jnp.einsum(
+                "bghqc,bgcr->bghqr", p.astype(cdt), xv,
+                preferred_element_type=jnp.float32,
+            )
         return (m_new, l_new, acc * alpha[..., None] + pv)
 
+    out_w = hd if b_v is not None else rv
     m0 = jnp.full((b, g, hpg, cq), -1e30, jnp.float32)
     l0 = jnp.zeros((b, g, hpg, cq), jnp.float32)
-    acc0 = jnp.zeros((b, g, hpg, cq, rv), jnp.float32)
+    acc0 = jnp.zeros((b, g, hpg, cq, out_w), jnp.float32)
     # dynamic causal bound: chunks entirely after the last query position
     # contribute nothing (their whole mask is false) and are skipped -- a
     # fori_loop with a traced upper bound keeps ONE compiled executable for
@@ -283,8 +306,8 @@ def flash_prefill_latent(
     last_q = jnp.max(offset) + cq - 1
     needed = jnp.minimum(last_q // chunk + 1, num_chunks).astype(jnp.int32)
     m, l, acc = jax.lax.fori_loop(0, needed, body, (m0, l0, acc0))
-    out = acc / l[..., None]  # (B, G, hpg, Cq, rv)
-    return out.transpose(0, 3, 1, 2, 4).reshape(b, cq, nh, rv)
+    out = acc / l[..., None]  # (B, G, hpg, Cq, rv|hd)
+    return out.transpose(0, 3, 1, 2, 4).reshape(b, cq, nh, out_w)
 
 
 def flash_decode_latent_seq_sharded(

@@ -166,6 +166,23 @@ class Engine:
                             j_local = hj // rep
                             kb[gi, hj] = bk[gi, j_local * hd : (j_local + 1) * hd]
                     entry["k_bias"] = jnp.asarray(kb, self.ecfg.dtype)
+            if "VT" in attn["v_proj"]:
+                # per-head V reconstruction matrices for the chunked-prefill
+                # fast path (prefill attends at head_dim, not rv; see
+                # flash_prefill_latent's value-path note)
+                entry["b_v"] = build_decode_b(
+                    np.asarray(attn["v_proj"]["U"], dtype=np.float32), self.cfg
+                ).astype(self.ecfg.dtype)
+                if attn["v_proj"].get("b") is not None:
+                    bv_ = np.asarray(attn["v_proj"]["b"], np.float32)  # (G, gd)
+                    g = cfg.num_kv_groups
+                    hpg = nh // g
+                    vb = np.empty((g, hpg, hd), np.float32)
+                    for gi in range(g):
+                        for hj in range(hpg):
+                            j_local = hj // rep
+                            vb[gi, hj] = bv_[gi, j_local * hd : (j_local + 1) * hd]
+                    entry["v_bias"] = jnp.asarray(vb, self.ecfg.dtype)
             if "VT" in attn["v_proj"] and attn["v_proj"].get("b") is not None:
                 # V = lat @ U + b_v; softmax weights sum to 1, so the bias
                 # passes through attention unchanged -> constant correction
@@ -330,17 +347,15 @@ class Engine:
                     return cache_lib.decode_latents(buf, ecfg.qcfg, rank, ecfg.dtype)
                 return fn
 
-            lat_out = att_ops.flash_prefill_latent(
+            out = att_ops.flash_prefill_latent(
                 q, read("k", rk), read("v", rv), der["b_k"],
                 num_chunks, chunk, offset, hd, cfg.rope_theta, rv,
                 cfg.sliding_window, k_bias=der.get("k_bias"),
                 inv_freq=self._inv_freq, rope_scale=self._rope_scale,
-            )  # (B, s, nh, rv)
-            attn_out = lat_out.astype(ecfg.dtype).reshape(b, s, nh * rv)
-            delta = wdot(attn_out, attn["o_proj"]["w_fused"])
-            if "o_bias_corr" in der:
-                delta = delta + der["o_bias_corr"]
-            x = x + delta
+                b_v=der["b_v"], v_bias=der.get("v_bias"),
+            )  # (B, s, nh, hd) -- V reconstructed, o_proj unfused
+            attn_out = out.astype(ecfg.dtype).reshape(b, s, nh * hd)
+            x = x + wdot(attn_out, attn["o_proj"]["w"])
 
             h2 = llama.rms_norm(x, p_layer["post_norm"], cfg.rms_norm_eps)
             x = x + llama.mlp_forward(h2, p_layer["mlp"])
