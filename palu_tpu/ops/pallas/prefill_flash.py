@@ -1,0 +1,164 @@
+"""Pallas TPU flash attention for CHUNKED PREFILL with an absolute query
+offset and a dynamic kv length.
+
+Why it exists: the XLA chunked-prefill path (ops/attention.py
+flash_prefill_latent) materializes (Cq, C) fp32 probability intermediates
+in HBM for every (q-chunk, kv-chunk) pair — ~0.5 GB per pair at the 64K
+headline shape, ~0.35 s/layer of pure HBM traffic (docs/BENCH.md
+"Prefill / TTFT"). This kernel runs the online softmax entirely in VMEM:
+per (batch, head) it streams K/V blocks once and keeps logits, probs, and
+the (Cq, hd) accumulator on-chip, exactly like the v4 decode kernel does
+for decode.
+
+jax's own pallas flash_attention cannot express this call: the causal
+mask there is tied to sq==sk (or a static sk-sq diagonal), while chunked
+prefill needs q row i to attend cache positions <= q_offset + i with
+q_offset changing per chunk and the real kv extent (kv_len) changing per
+call — both arrive here as scalar-prefetch operands, so ONE compiled
+executable serves every chunk of every prompt length.
+
+Reference analog: the prefill side of kernel/palu_attention.py:196-206
+(reconstruct-then-SDPA); the reference has no fused prefill kernel at all.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["prefill_flash"]
+
+
+def _make_kernel(cq: int, block_s: int, hd: int, sliding_window, cdt):
+    def kernel(scalars, q_ref, k_ref, v_ref, out_ref, m_scr, l_scr, acc_scr):
+        # scalars: (2*B,) int32 = [q_offset..., kv_len...]
+        bi = pl.program_id(0)
+        sblk = pl.program_id(2)
+        nblk = pl.num_programs(2)
+        b_total = scalars.shape[0] // 2
+        q_off = scalars[bi]
+        kv_len = scalars[b_total + bi]
+
+        @pl.when(sblk == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -1e30)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        block_start = sblk * block_s
+
+        @pl.when(block_start < kv_len)
+        def _body():
+            q = q_ref[0].astype(cdt)  # (Cq, hd)
+            k = k_ref[0].astype(cdt)  # (BS, hd)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / np.sqrt(hd)  # (Cq, BS)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1) + block_start
+            q_pos = (
+                jax.lax.broadcasted_iota(jnp.int32, (cq, 1), 0) + q_off
+            )  # (Cq, 1) absolute query positions
+            valid = jnp.logical_and(pos <= q_pos, pos < kv_len)
+            if sliding_window is not None:
+                valid = jnp.logical_and(valid, pos > q_pos - sliding_window)
+            logits = jnp.where(valid, logits, -1e30)
+
+            m_prev = m_scr[...]  # (Cq, 1)
+            l_prev = l_scr[...]
+            m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits - m_new)
+            p = jnp.where(valid, p, 0.0)
+            l_scr[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[...] = m_new
+            v = v_ref[0].astype(cdt)  # (BS, hd)
+            pv = jax.lax.dot_general(
+                p.astype(cdt), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Cq, hd)
+            acc_scr[...] = acc_scr[...] * alpha + pv
+
+        @pl.when(sblk == nblk - 1)
+        def _finalize():
+            # every query row attends at least its own position, so l > 0
+            out_ref[0] = (acc_scr[...] / l_scr[...]).astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_s", "sliding_window", "interpret", "compute_dtype"),
+)
+def prefill_flash(
+    q: jax.Array,  # (B, nh, Cq, hd) roped at absolute positions q_offset+i
+    k: jax.Array,  # (B, nh, S_max, hd) roped reconstructed keys
+    v: jax.Array,  # (B, nh, S_max, hd)
+    q_offset: jax.Array,  # (B,) absolute position of q[:, :, 0]
+    kv_len: jax.Array,  # (B,) real cache extent (positions >= kv_len masked)
+    *,
+    block_s: int = 1024,
+    sliding_window: Optional[int] = None,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Causal-with-offset flash attention -> (B, nh, Cq, hd).
+
+    GQA callers repeat K/V heads before the call (XLA keeps the repeat as a
+    broadcast; the kernel reads each kv head's block once per q head —
+    matching the XLA path's traffic).
+    """
+    b, nh, cq, hd = q.shape
+    s_max = k.shape[2]
+    assert k.shape == (b, nh, s_max, hd) and v.shape == (b, nh, s_max, hd)
+    assert s_max % block_s == 0
+    nblk = s_max // block_s
+
+    scalars = jnp.concatenate(
+        [
+            jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (b,)),
+            jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,)),
+        ]
+    )
+
+    kernel = _make_kernel(cq, block_s, hd, sliding_window, compute_dtype)
+    try:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    except TypeError:  # older pallas versions
+        compiler_params = None
+
+    out = pl.pallas_call(
+        kernel,
+        compiler_params=compiler_params,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nh, nblk),
+            in_specs=[
+                pl.BlockSpec((1, None, cq, hd), lambda bi, hi, si, *_: (bi, hi, 0, 0)),
+                pl.BlockSpec(
+                    (1, None, block_s, hd), lambda bi, hi, si, *_: (bi, hi, si, 0)
+                ),
+                pl.BlockSpec(
+                    (1, None, block_s, hd), lambda bi, hi, si, *_: (bi, hi, si, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, None, cq, hd), lambda bi, hi, si, *_: (bi, hi, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((cq, 1), jnp.float32),
+                pltpu.VMEM((cq, 1), jnp.float32),
+                pltpu.VMEM((cq, hd), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nh, cq, hd), q.dtype),
+        interpret=interpret,
+    )(scalars, q, k, v)
+    return out
