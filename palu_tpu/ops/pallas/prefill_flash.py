@@ -15,7 +15,14 @@ mask there is tied to sq==sk (or a static sk-sq diagonal), while chunked
 prefill needs q row i to attend cache positions <= q_offset + i with
 q_offset changing per chunk and the real kv extent (kv_len) changing per
 call — both arrive here as scalar-prefetch operands, so ONE compiled
-executable serves every chunk of every prompt length.
+executable serves every chunk of every prompt length. The kv length also
+feeds the BlockSpec index maps: sequence blocks past the last needed one
+clamp to it, so their DMAs are elided (same block index -> no refetch)
+and a short prefix never streams the whole s_max buffer.
+
+GQA: K/V carry n_kv heads; the q-head grid index maps onto its kv head in
+the BlockSpec (hi -> hi * nkv // nh), so kv blocks are fetched per q head
+without materializing a head-repeated copy in HBM.
 
 Reference analog: the prefill side of kernel/palu_attention.py:196-206
 (reconstruct-then-SDPA); the reference has no fused prefill kernel at all.
@@ -53,29 +60,33 @@ def _make_kernel(cq: int, block_s: int, hd: int, sliding_window, cdt):
 
         block_start = sblk * block_s
 
-        @pl.when(block_start < kv_len)
-        def _body():
+        def attend(masked: bool):
             q = q_ref[0].astype(cdt)  # (Cq, hd)
             k = k_ref[0].astype(cdt)  # (BS, hd)
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) / np.sqrt(hd)  # (Cq, BS)
-            pos = jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1) + block_start
-            q_pos = (
-                jax.lax.broadcasted_iota(jnp.int32, (cq, 1), 0) + q_off
-            )  # (Cq, 1) absolute query positions
-            valid = jnp.logical_and(pos <= q_pos, pos < kv_len)
-            if sliding_window is not None:
-                valid = jnp.logical_and(valid, pos > q_pos - sliding_window)
-            logits = jnp.where(valid, logits, -1e30)
+            if masked:
+                pos = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
+                    + block_start
+                )
+                q_pos = (
+                    jax.lax.broadcasted_iota(jnp.int32, (cq, 1), 0) + q_off
+                )  # (Cq, 1) absolute query positions
+                valid = jnp.logical_and(pos <= q_pos, pos < kv_len)
+                if sliding_window is not None:
+                    valid = jnp.logical_and(valid, pos > q_pos - sliding_window)
+                logits = jnp.where(valid, logits, -1e30)
 
             m_prev = m_scr[...]  # (Cq, 1)
             l_prev = l_scr[...]
             m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(logits - m_new)
-            p = jnp.where(valid, p, 0.0)
+            if masked:
+                p = jnp.where(valid, p, 0.0)
             l_scr[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
             m_scr[...] = m_new
             v = v_ref[0].astype(cdt)  # (BS, hd)
@@ -85,10 +96,34 @@ def _make_kernel(cq: int, block_s: int, hd: int, sliding_window, cdt):
             )  # (Cq, hd)
             acc_scr[...] = acc_scr[...] * alpha + pv
 
+        # Mask specialization: a block is valid for EVERY query row iff it
+        # ends at or before q_off (all q_pos >= q_off) and inside kv_len
+        # (and, with a sliding window, starts inside the window of the
+        # largest q_pos). ~(S/Cq - 1)/(S/Cq) of blocks take the unmasked
+        # path, skipping the iota/compare/select VPU work per element.
+        full_ok = block_start + block_s <= jnp.minimum(q_off + 1, kv_len)
+        if sliding_window is not None:
+            full_ok = jnp.logical_and(
+                full_ok, block_start >= q_off + cq - sliding_window
+            )
+        in_range = block_start < kv_len
+
+        @pl.when(jnp.logical_and(in_range, full_ok))
+        def _body_unmasked():
+            attend(masked=False)
+
+        @pl.when(jnp.logical_and(in_range, jnp.logical_not(full_ok)))
+        def _body_masked():
+            attend(masked=True)
+
         @pl.when(sblk == nblk - 1)
         def _finalize():
-            # every query row attends at least its own position, so l > 0
-            out_ref[0] = (acc_scr[...] / l_scr[...]).astype(out_ref.dtype)
+            # every in-range query row attends at least its own position so
+            # l > 0 there; rows past kv_len (padded tail chunks) would hit
+            # l == 0 -> guard keeps them finite garbage instead of NaN
+            out_ref[0] = (
+                acc_scr[...] / jnp.maximum(l_scr[...], 1e-30)
+            ).astype(out_ref.dtype)
 
     return kernel
 
@@ -99,8 +134,8 @@ def _make_kernel(cq: int, block_s: int, hd: int, sliding_window, cdt):
 )
 def prefill_flash(
     q: jax.Array,  # (B, nh, Cq, hd) roped at absolute positions q_offset+i
-    k: jax.Array,  # (B, nh, S_max, hd) roped reconstructed keys
-    v: jax.Array,  # (B, nh, S_max, hd)
+    k: jax.Array,  # (B, nkv, S_max, hd) roped reconstructed keys
+    v: jax.Array,  # (B, nkv, S_max, hd)
     q_offset: jax.Array,  # (B,) absolute position of q[:, :, 0]
     kv_len: jax.Array,  # (B,) real cache extent (positions >= kv_len masked)
     *,
@@ -111,13 +146,13 @@ def prefill_flash(
 ) -> jax.Array:
     """Causal-with-offset flash attention -> (B, nh, Cq, hd).
 
-    GQA callers repeat K/V heads before the call (XLA keeps the repeat as a
-    broadcast; the kernel reads each kv head's block once per q head —
-    matching the XLA path's traffic).
+    GQA handled in the BlockSpec index maps (nh % nkv == 0); no head
+    repetition is materialized.
     """
     b, nh, cq, hd = q.shape
-    s_max = k.shape[2]
-    assert k.shape == (b, nh, s_max, hd) and v.shape == (b, nh, s_max, hd)
+    nkv, s_max = k.shape[1], k.shape[2]
+    assert k.shape == (b, nkv, s_max, hd) and v.shape == (b, nkv, s_max, hd)
+    assert nh % nkv == 0
     assert s_max % block_s == 0
     nblk = s_max // block_s
 
@@ -127,6 +162,12 @@ def prefill_flash(
             jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,)),
         ]
     )
+
+    def kv_index(bi, hi, si, s):
+        # clamp past-the-end sequence blocks to the last needed one: pallas
+        # skips the DMA when consecutive grid steps map to the same block
+        last = jnp.maximum(s[b + bi], 1) - 1  # kv_len-1, >= 0
+        return (bi, (hi * nkv) // nh, jnp.minimum(si, last // block_s), 0)
 
     kernel = _make_kernel(cq, block_s, hd, sliding_window, compute_dtype)
     try:
@@ -142,12 +183,8 @@ def prefill_flash(
             grid=(b, nh, nblk),
             in_specs=[
                 pl.BlockSpec((1, None, cq, hd), lambda bi, hi, si, *_: (bi, hi, 0, 0)),
-                pl.BlockSpec(
-                    (1, None, block_s, hd), lambda bi, hi, si, *_: (bi, hi, si, 0)
-                ),
-                pl.BlockSpec(
-                    (1, None, block_s, hd), lambda bi, hi, si, *_: (bi, hi, si, 0)
-                ),
+                pl.BlockSpec((1, None, block_s, hd), kv_index),
+                pl.BlockSpec((1, None, block_s, hd), kv_index),
             ],
             out_specs=pl.BlockSpec(
                 (1, None, cq, hd), lambda bi, hi, si, *_: (bi, hi, 0, 0)

@@ -58,6 +58,10 @@ class EngineConfig:
     # sequence-block size for the fused Pallas decode kernels; None uses
     # decode_chunk (rounded to a divisor of s_max)
     pallas_block: Optional[int] = None
+    # sequence-block size for the fused Pallas PREFILL kernel; None picks
+    # 1024 (the on-chip sweep optimum at the 64K headline point -- decode
+    # prefers 2048, so the two are configured independently)
+    prefill_block: Optional[int] = None
     # 16 = keep weights in `dtype`; 8 = store the large dense projections
     # (q_proj, o_proj/fused, MLP, lm_head) as int8 codes + per-channel
     # scales (core/wquant) -- halves weight HBM and weight-read time per
@@ -112,6 +116,11 @@ class Engine:
         while ecfg.s_max % pb:
             pb -= 1
         self._pallas_block = pb
+        fb = ecfg.prefill_block if ecfg.prefill_block is not None else 1024
+        fb = max(1, min(fb, ecfg.s_max))
+        while ecfg.s_max % fb:
+            fb -= 1
+        self._prefill_block = fb
         if ecfg.rank_major_fp and ecfg.seq_axis is not None:
             raise ValueError(
                 "rank_major_fp and seq_axis are mutually exclusive: the "
@@ -301,11 +310,12 @@ class Engine:
 
     # -- chunked prefill -----------------------------------------------------
 
-    def _prefill_chunk_impl(self, params, cache, ids_chunk, offset):
-        """One prefill chunk at per-lane `offset` (B,). Requires all-low-rank
-        k/v layers (always true for Palu-compressed models). Uses the fused
-        latent path end to end; activation memory is O(chunk * decode_chunk).
-        """
+    def _prefill_chunk_body(self, params, cache, ids_chunk, offset):
+        """One prefill chunk at per-lane `offset` (B,), WITHOUT the final
+        norm / lm_head (so the scanned multi-chunk prefill pays lm_head once,
+        not per chunk). Returns (hidden (B, s, H), new_cache). Requires
+        all-low-rank k/v layers (always true for Palu-compressed models).
+        Activation memory is O(chunk * decode_chunk)."""
         cfg, ecfg = self.cfg, self.ecfg
         b, s = ids_chunk.shape
         x = params["embed"][ids_chunk].astype(ecfg.dtype)
@@ -341,36 +351,163 @@ class Engine:
             rk = attn["k_proj"]["U"].shape[1]
             rv = attn["v_proj"]["U"].shape[1]
 
-            def read(side, rank):
-                def fn(idx):
-                    buf = cache_lib.seq_slice(entry[side], idx * chunk, chunk)
-                    return cache_lib.decode_latents(buf, ecfg.qcfg, rank, ecfg.dtype)
-                return fn
+            if ecfg.use_pallas and ecfg.seq_axis is None:
+                # fused Pallas prefill: reconstruct+RoPE the needed prefix
+                # once per chunk (XLA), then one online-softmax kernel pass
+                # keeps all (Cq, C) probability intermediates in VMEM --
+                # the XLA path below writes them to HBM per chunk pair
+                # (docs/BENCH.md "Prefill / TTFT")
+                attn_out = self._prefill_attn_pallas(
+                    q, entry, attn, rk, rv, offset, offset + s
+                )
+            else:
+                def read(side, rank):
+                    def fn(idx):
+                        buf = cache_lib.seq_slice(entry[side], idx * chunk, chunk)
+                        return cache_lib.decode_latents(buf, ecfg.qcfg, rank, ecfg.dtype)
+                    return fn
 
-            out = att_ops.flash_prefill_latent(
-                q, read("k", rk), read("v", rv), der["b_k"],
-                num_chunks, chunk, offset, hd, cfg.rope_theta, rv,
-                cfg.sliding_window, k_bias=der.get("k_bias"),
-                inv_freq=self._inv_freq, rope_scale=self._rope_scale,
-                b_v=der["b_v"], v_bias=der.get("v_bias"),
-            )  # (B, s, nh, hd) -- V reconstructed, o_proj unfused
-            attn_out = out.astype(ecfg.dtype).reshape(b, s, nh * hd)
+                out = att_ops.flash_prefill_latent(
+                    q, read("k", rk), read("v", rv), der["b_k"],
+                    num_chunks, chunk, offset, hd, cfg.rope_theta, rv,
+                    cfg.sliding_window, k_bias=der.get("k_bias"),
+                    inv_freq=self._inv_freq, rope_scale=self._rope_scale,
+                    b_v=der["b_v"], v_bias=der.get("v_bias"),
+                )  # (B, s, nh, hd) -- V reconstructed, o_proj unfused
+                attn_out = out.astype(ecfg.dtype).reshape(b, s, nh * hd)
             x = x + wdot(attn_out, attn["o_proj"]["w"])
 
             h2 = llama.rms_norm(x, p_layer["post_norm"], cfg.rms_norm_eps)
             x = x + llama.mlp_forward(h2, p_layer["mlp"])
             new_layers.append(entry)
 
-        x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
-        logits = wdot(x, lm_head)  # (B, s, V) -- caller picks the last real token
         new_cache = {"layers": new_layers, "length": offset + s}
-        return logits, new_cache
+        return x, new_cache
+
+    def _lm_head_logits(self, params, x):
+        x = llama.rms_norm(x, params["final_norm"], self.cfg.rms_norm_eps)
+        lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
+        return wdot(x, lm_head)
+
+    def _prefill_chunk_impl(self, params, cache, ids_chunk, offset):
+        x, new_cache = self._prefill_chunk_body(params, cache, ids_chunk, offset)
+        # (B, s, V) -- caller picks the last real token
+        return self._lm_head_logits(params, x), new_cache
+
+    def _prefill_scan_impl(self, params, cache, ids, base_offset):
+        """Scan `n` prefill chunks inside ONE executable: ids (B, n, chunk).
+        Removes the per-chunk host dispatch (~10 ms each through this
+        sandbox's TPU tunnel -- ~0.3 s of a 64K prefill) and runs lm_head
+        only on the final chunk. Returns (last-chunk logits, cache)."""
+        b, n, chunk = ids.shape
+
+        def body(carry, inp):
+            cache, _ = carry
+            i, ids_chunk = inp
+            off = base_offset + i * chunk
+            x, cache = self._prefill_chunk_body(params, cache, ids_chunk, off)
+            return (cache, x), None
+
+        x0 = jnp.zeros((b, chunk, params["embed"].shape[1]), self.ecfg.dtype)
+        (cache, x), _ = jax.lax.scan(
+            body, (cache, x0),
+            (jnp.arange(n), ids.transpose(1, 0, 2)),
+        )
+        return self._lm_head_logits(params, x), cache
+
+    def _prefill_attn_pallas(self, q, entry, attn, rk, rv, q_off, kv_len):
+        """Chunked-prefill attention through the fused Pallas flash kernel
+        (ops/pallas/prefill_flash.py). q: (B, Cq, nh, hd) roped; returns
+        (B, Cq, nh*hd) for the unfused o_proj.
+
+        The needed cache prefix is dequantized, reconstructed (per KV head,
+        qwen2 bias included) and roped in XLA -- a tiny fraction of the
+        attention FLOPs -- into (B, nkv, S_max, hd) scratch whose live range
+        is one layer; the kernel then streams it once with the online
+        softmax fully in VMEM. Scaled-rope and bias models are supported
+        because RoPE/bias happen here, not in the kernel."""
+        from ..ops.pallas.prefill_flash import prefill_flash
+
+        cfg, ecfg = self.cfg, self.ecfg
+        b, cq, nh, hd = q.shape
+        nkv = cfg.num_key_value_heads
+        chunk = self._chunk
+        s_max = ecfg.s_max
+
+        k_full = jnp.zeros((b, nkv, s_max, hd), ecfg.dtype)
+        v_full = jnp.zeros((b, nkv, s_max, hd), ecfg.dtype)
+        needed = (jnp.max(kv_len) - 1) // chunk + 1
+
+        def body(j, bufs):
+            kf, vf = bufs
+            lat_k = cache_lib.decode_latents(
+                cache_lib.seq_slice(entry["k"], j * chunk, chunk),
+                ecfg.qcfg, rk, ecfg.dtype,
+            ).transpose(0, 2, 1, 3)  # (B, C, G, rk)
+            kblk = llama.reconstruct_kv(lat_k, attn["k_proj"]).reshape(
+                b, chunk, nkv, hd
+            )
+            pos = j * chunk + jnp.arange(chunk)
+            cos, sin = llama.rope_cos_sin_for(
+                cfg, jnp.broadcast_to(pos[None], (b, chunk))
+            )
+            kblk = llama.apply_rope(kblk.astype(jnp.float32), cos, sin)
+            lat_v = cache_lib.decode_latents(
+                cache_lib.seq_slice(entry["v"], j * chunk, chunk),
+                ecfg.qcfg, rv, ecfg.dtype,
+            ).transpose(0, 2, 1, 3)
+            vblk = llama.reconstruct_kv(lat_v, attn["v_proj"]).reshape(
+                b, chunk, nkv, hd
+            )
+            kf = jax.lax.dynamic_update_slice(
+                kf, kblk.astype(ecfg.dtype).transpose(0, 2, 1, 3),
+                (0, 0, j * chunk, 0),
+            )
+            vf = jax.lax.dynamic_update_slice(
+                vf, vblk.astype(ecfg.dtype).transpose(0, 2, 1, 3),
+                (0, 0, j * chunk, 0),
+            )
+            return kf, vf
+
+        k_full, v_full = jax.lax.fori_loop(0, needed, body, (k_full, v_full))
+        q_t = q.transpose(0, 2, 1, 3)  # (B, nh, Cq, hd)
+
+        def kernel_call(q_, k_, v_, off_, kvl_):
+            return prefill_flash(
+                q_, k_, v_, off_, kvl_,
+                block_s=self._prefill_block,
+                sliding_window=cfg.sliding_window,
+                interpret=ecfg.pallas_interpret,
+                compute_dtype=ecfg.dtype,
+            )
+
+        if ecfg.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            from palu_tpu.parallel.mesh import shard_map_nocheck
+
+            out = shard_map_nocheck(
+                kernel_call,
+                mesh=ecfg.mesh,
+                in_specs=(
+                    P("data", "model", None, None),
+                    P("data", "model", None, None),
+                    P("data", "model", None, None),
+                    P("data"),
+                    P("data"),
+                ),
+                out_specs=P("data", "model", None, None),
+            )(q_t, k_full, v_full, q_off, kv_len)
+        else:
+            out = kernel_call(q_t, k_full, v_full, q_off, kv_len)
+        return out.transpose(0, 2, 1, 3).reshape(b, cq, nh * hd)
 
     def _ensure_chunk_jits(self):
         if not hasattr(self, "_prefill_chunk_jit"):
             self._prefill_chunk_jit = jax.jit(
                 self._prefill_chunk_impl, donate_argnums=(1,)
+            )
+            self._prefill_scan_jit = jax.jit(
+                self._prefill_scan_impl, donate_argnums=(1,)
             )
             # last-real-token gather, jitted once (a fresh dynamic slice per
             # distinct prompt length would recompile per length)
@@ -403,19 +540,33 @@ class Engine:
             raise ValueError(f"prompt {total} exceeds s_max {self.ecfg.s_max}")
         if cache is None:
             cache = self.init_cache()
+        # pad to a whole number of chunks (pad positions are causally
+        # invisible; decode starts from the real length set below)
+        n_chunks = -(-total // chunk_size)
+        padded = np.zeros((b, n_chunks * chunk_size), input_ids.dtype)
+        padded[:, :total] = input_ids
+        # decompose into descending powers of two: each power-of-two run
+        # goes through ONE scanned executable (no per-chunk host dispatch),
+        # and the set of compiled program shapes stays O(log(s_max/chunk))
         logits = None
-        off = 0
-        while off < total:
-            end = min(off + chunk_size, total)
-            real = end - off
-            ids = input_ids[:, off:end]
-            if real < chunk_size:  # pad the tail chunk (pad positions are
-                ids = np.pad(ids, ((0, 0), (0, chunk_size - real)))  # causally invisible)
+        off_chunks = 0
+        remaining = n_chunks
+        while remaining:
+            m = 1 << (remaining.bit_length() - 1)
+            off = off_chunks * chunk_size
             offset = jnp.full((b,), off, jnp.int32)
-            logits, cache = self._prefill_chunk_jit(
-                self.params, cache, jnp.asarray(ids), offset
-            )
-            off = end
+            ids = padded[:, off : off + m * chunk_size]
+            if m == 1:
+                logits, cache = self._prefill_chunk_jit(
+                    self.params, cache, jnp.asarray(ids), offset
+                )
+            else:
+                logits, cache = self._prefill_scan_jit(
+                    self.params, cache,
+                    jnp.asarray(ids.reshape(b, m, chunk_size)), offset,
+                )
+            off_chunks += m
+            remaining -= m
         last = self._last_gather_jit(
             logits, jnp.full((b,), (total - 1) % chunk_size, jnp.int32)
         )

@@ -336,6 +336,67 @@ def test_engine_pallas_block_override():
     assert np.allclose(s1, s2, atol=3e-3), np.abs(s1 - s2).max()
 
 
+@pytest.mark.parametrize(
+    "bits,sym,kv_heads,gs",
+    [(16, True, 4, 2), (4, True, 4, 2), (3, False, 4, 2), (16, True, 2, 2)],
+)
+def test_chunked_prefill_pallas_matches_xla(bits, sym, kv_heads, gs):
+    """The fused Pallas prefill path (prefill_flash, interpret) must match
+    the XLA chunked-prefill path logits- and cache-wise: fp + quantized
+    caches, GQA, and a follow-up decode step from the produced cache."""
+    params, cfg = _lowrank_model(seed=51, rank=16, gs=gs,
+                                 num_key_value_heads=kv_heads)
+    qcfg = QuantConfig(bits=bits, group_size=0, sym=sym) if bits < 16 else None
+    ids = np.random.default_rng(51).integers(0, cfg.vocab_size, (1, 20))
+
+    e_xla = Engine(params, cfg, EngineConfig(s_max=32, dtype=jnp.float32,
+                                             qcfg=qcfg, decode_chunk=8))
+    e_pal = Engine(params, cfg, EngineConfig(s_max=32, dtype=jnp.float32,
+                                             qcfg=qcfg, decode_chunk=8,
+                                             use_pallas=True,
+                                             pallas_interpret=True))
+    lg1, c1 = e_xla.prefill_chunked(ids, chunk_size=8)
+    lg2, c2 = e_pal.prefill_chunked(ids, chunk_size=8)
+    assert np.allclose(np.asarray(lg1), np.asarray(lg2), atol=3e-3), \
+        np.abs(np.asarray(lg1) - np.asarray(lg2)).max()
+    tok = np.asarray([[5]])
+    d1, _ = e_xla.decode(tok, c1)
+    d2, _ = e_pal.decode(tok, c2)
+    assert np.allclose(np.asarray(d1), np.asarray(d2), atol=3e-3)
+
+
+def test_chunked_prefill_pallas_qwen2_bias_and_window():
+    """Pallas prefill with qwen2 k/v biases (applied at reconstruction,
+    outside the kernel) and a mistral sliding window."""
+    cfg = _tiny_cfg(num_key_value_heads=4)
+    cfg = dataclasses.replace(cfg, attention_bias=True, model_family="qwen2")
+    params = llama.init_params(cfg, jax.random.key(52))
+    rng = np.random.default_rng(52)
+    for layer in params["layers"]:
+        for which in ("q_proj", "k_proj", "v_proj"):
+            layer["attn"][which]["b"] = jnp.asarray(
+                rng.standard_normal(layer["attn"][which]["b"].shape) * 0.1,
+                jnp.float32)
+    sel = {}
+    for i in range(cfg.num_hidden_layers):
+        sel[f"model.layers.{i}.self_attn.k_proj"] = [16, 16]
+        sel[f"model.layers.{i}.self_attn.v_proj"] = [16, 16]
+    lr_params, lr_cfg = compress_params(params, cfg, sel, "svd", head_group_size=2)
+    ids = rng.integers(0, cfg.vocab_size, (1, 20))
+    for extra in ({}, {"sliding_window": 6, "model_family": "mistral"}):
+        c = dataclasses.replace(lr_cfg, **extra) if extra else lr_cfg
+        e_xla = Engine(lr_params, c, EngineConfig(s_max=32, dtype=jnp.float32,
+                                                  decode_chunk=8))
+        e_pal = Engine(lr_params, c, EngineConfig(s_max=32, dtype=jnp.float32,
+                                                  decode_chunk=8,
+                                                  use_pallas=True,
+                                                  pallas_interpret=True))
+        lg1, _ = e_xla.prefill_chunked(ids, chunk_size=8)
+        lg2, _ = e_pal.prefill_chunked(ids, chunk_size=8)
+        assert np.allclose(np.asarray(lg1), np.asarray(lg2), atol=3e-3), \
+            (extra, np.abs(np.asarray(lg1) - np.asarray(lg2)).max())
+
+
 def test_engine_long_prompt_chunked_prefill_matches_forward():
     """Long-context logic check at CPU scale: a 1500-token prompt through
     chunked prefill (many chunks, non-divisible tail) + blocked decode must

@@ -1,0 +1,116 @@
+"""Parity tests for the Pallas chunked-prefill flash kernel
+(ops/pallas/prefill_flash.py) against a full-softmax reference, in
+interpret mode on CPU. Covers: offsets, dynamic kv_len, padded tail
+chunks (the l==0 NaN guard), sliding window, GQA head mapping, and
+per-lane offsets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from palu_tpu.ops.pallas.prefill_flash import prefill_flash
+
+
+def ref_attn(q, k, v, q_offset, kv_len, sliding_window=None):
+    """Full-softmax reference. q: (B, nh, Cq, hd); k/v: (B, nkv, S, hd)."""
+    b, nh, cq, hd = q.shape
+    nkv, s = k.shape[1], k.shape[2]
+    rep = nh // nkv
+    k = np.repeat(np.asarray(k, np.float32), rep, axis=1)
+    v = np.repeat(np.asarray(v, np.float32), rep, axis=1)
+    q = np.asarray(q, np.float32)
+    logits = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd)
+    pos = np.arange(s)[None, None, None, :]
+    q_pos = (np.asarray(q_offset)[:, None, None, None]
+             + np.arange(cq)[None, None, :, None])
+    valid = (pos <= q_pos) & (pos < np.asarray(kv_len)[:, None, None, None])
+    if sliding_window is not None:
+        valid &= pos > q_pos - sliding_window
+    logits = np.where(valid, logits, -1e30)
+    logits -= logits.max(axis=-1, keepdims=True)
+    p = np.exp(logits)
+    p = np.where(valid, p, 0.0)
+    denom = p.sum(axis=-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v) / np.maximum(denom, 1e-30)
+
+
+def make_inputs(b=1, nh=4, nkv=4, cq=64, s_max=256, hd=64, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    q = jax.random.normal(ks[0], (b, nh, cq, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, nkv, s_max, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (b, nkv, s_max, hd), jnp.float32)
+    return q, k, v
+
+
+def run(q, k, v, off, kvl, **kw):
+    return prefill_flash(
+        q, k, v, jnp.asarray(off, jnp.int32), jnp.asarray(kvl, jnp.int32),
+        block_s=kw.pop("block_s", 64), interpret=True,
+        compute_dtype=kw.pop("compute_dtype", jnp.float32), **kw,
+    )
+
+
+def test_first_chunk_no_offset():
+    q, k, v = make_inputs()
+    out = run(q, k, v, [0], [64])
+    ref = ref_attn(q, k, v, [0], [64])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_mid_chunk_offset():
+    # second chunk of a prompt: q rows at absolute 64..127, cache holds 128
+    q, k, v = make_inputs()
+    out = run(q, k, v, [64], [128])
+    ref = ref_attn(q, k, v, [64], [128])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_kv_len_not_block_multiple():
+    q, k, v = make_inputs()
+    out = run(q, k, v, [33], [97])
+    ref = ref_attn(q, k, v, [33], [97])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_padded_tail_chunk_no_nan():
+    # real prompt ends mid-chunk: kv_len < q_offset + cq. Rows past the end
+    # are garbage but must be finite (the l==0 guard); in-range rows exact.
+    q, k, v = make_inputs()
+    off, kvl = 64, 80  # rows 0..15 real, 16..63 padding
+    out = np.asarray(run(q, k, v, [off], [kvl]))
+    assert np.isfinite(out).all()
+    ref = ref_attn(q, k, v, [off], [kvl])
+    np.testing.assert_allclose(out[:, :, :16], ref[:, :, :16],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sliding_window():
+    q, k, v = make_inputs()
+    out = run(q, k, v, [128], [192], sliding_window=48)
+    ref = ref_attn(q, k, v, [128], [192], sliding_window=48)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_gqa_head_mapping():
+    q, k, v = make_inputs(nh=8, nkv=2)
+    out = run(q, k, v, [64], [128])
+    ref = ref_attn(q, k, v, [64], [128])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_per_lane_offsets():
+    q, k, v = make_inputs(b=3)
+    off, kvl = [0, 64, 128], [64, 128, 192]
+    out = run(q, k, v, off, kvl)
+    ref = ref_attn(q, k, v, off, kvl)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_compute():
+    q, k, v = make_inputs()
+    q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    out = run(q, k, v, [64], [128], compute_dtype=jnp.bfloat16)
+    ref = ref_attn(q, k, v, [64], [128])
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               rtol=0.05, atol=0.05)

@@ -36,6 +36,8 @@ seqs = [int(x) for x in (sys.argv[1:] or ["4096", "16384", "65536"])]
 chunk = int(os.environ.get("CHUNK", 2048))
 bits = int(os.environ.get("BITS", 4))
 mode = os.environ.get("MODE", "chunked")
+pallas = bool(int(os.environ.get("PALLAS", "1")))  # fused Pallas prefill kernel
+pblock = int(os.environ.get("PBLOCK", "0")) or None  # kernel seq block
 
 cfg = ModelConfig(
     vocab_size=32000,
@@ -55,10 +57,11 @@ params, cfg = compress_params(params, cfg, selection, "svd", head_group_size=4)
 
 qcfg = QuantConfig(bits=bits, group_size=0, sym=True) if bits else None
 print(f"devices: {jax.devices()}  mode={mode} chunk={chunk} "
-      f"bits={bits or 'bf16'}", flush=True)
+      f"bits={bits or 'bf16'} pallas={pallas} pblock={pblock}", flush=True)
 
 for seq in seqs:
-    ecfg = EngineConfig(s_max=seq, batch=1, qcfg=qcfg, decode_chunk=chunk)
+    ecfg = EngineConfig(s_max=seq, batch=1, qcfg=qcfg, decode_chunk=chunk,
+                        use_pallas=pallas, prefill_block=pblock)
     eng = Engine(params, cfg, ecfg)
     ids = np.random.default_rng(0).integers(0, cfg.vocab_size, (1, seq))
 
