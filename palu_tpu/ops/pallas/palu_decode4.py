@@ -34,7 +34,20 @@ axis:
    subtracts the constant `2^(bits-1)` from the unpacked codes and
    multiplies by the per-token scale row once per group -- the entire
    zero-point logits term of v2/v3 (two full-size dots + a second
-   rotation) does not exist.  Asymmetric caches keep using v2/v3.
+   rotation) does not exist.
+4b. **Asymmetric caches** (the reference's default protocol --
+   `--lt_sym` is opt-in, /root/reference/utils.py:106) also run in the
+   transposed formulation: the per-token zero z enters every dequant
+   linearly, so its whole contribution collapses past the big dots.
+   K side: since dequant(X) = s*C + z*1_rank, the roped-logit zero
+   term is z ⊙ (seg @ (cos*rowsum(bq1) + sin*rowsum(bq2))), and
+   because the cos/sin tables tile with period `half`, that segment
+   sum is exactly `R1 @ cosb + R2 @ sinb` with R = rowsum(bq)
+   reshaped (hpg, half) -- two (hpg, half)x(half, BS) dots per group
+   per block, ~1% of the reconstruct MXU work.  V side: the zero adds
+   `sum_s p[h,s] * z[s]` broadcast over rv -- one (hpg, BS) multiply
+   + lane reduction.  No centering subtract is needed at all (codes
+   stay unsigned; z absorbs the offset).
 5. **Online softmax in (heads, seq) layout**: head statistics are
    (nh, 1) columns, reductions run over lanes, and the output
    accumulator is `(g, hpg, rv)` so the final result reshapes to
@@ -122,13 +135,16 @@ def _make_kernel4(
     rv: int,
     compute_dtype=jnp.bfloat16,
     rot_dtype=jnp.float32,
+    asym: bool = False,
 ):
     """bits=None builds the fp (bf16 rank-major latents, no scales) variant;
     the cache refs then hold latent rows directly instead of packed codes,
-    and xk_s/xv_s are ignored dummy (g, BS) refs."""
+    and xk_s/xv_s are ignored dummy (g, BS) refs.  asym=True adds per-token
+    zero-point refs xk_z/xv_z and the collapsed zero-term corrections
+    (module docstring 4b); codes are then used unsigned (qoff = 0)."""
     cdt = compute_dtype
     nh = g * hpg
-    qoff = 2 ** (bits - 1) if bits is not None else 0
+    qoff = 2 ** (bits - 1) if (bits is not None and not asym) else 0
     pair = g % 2 == 0
 
     def _rows(ref_block, rank):
@@ -137,8 +153,11 @@ def _make_kernel4(
         return _unpack_rank_major_t(ref_block, bits, rank, qoff, cdt)
 
     def kernel(kv_len_ref, a1_ref, a2_ref, b1t_ref, b2t_ref, seg_ref,
-               cos_ref, sin_ref, xk_codes, xk_s, xv_codes, xv_s,
-               out_ref, m_scr, l_scr, acc_scr):
+               cos_ref, sin_ref, xk_codes, xk_s, xv_codes, xv_s, *rest):
+        if asym:
+            xk_z, xv_z, out_ref, m_scr, l_scr, acc_scr = rest
+        else:
+            out_ref, m_scr, l_scr, acc_scr = rest
         sblk = pl.program_id(1)
         nblk = pl.num_programs(1)
         kv_len = kv_len_ref[pl.program_id(0)]
@@ -162,6 +181,11 @@ def _make_kernel4(
 
         ks_rows = xk_s[...]  # (g, BS) per-token K scales
         vs_rows = xv_s[...]
+        if asym:
+            kz_rows = xk_z[...]  # (g, BS) per-token zero-points (value units)
+            vz_rows = xv_z[...]
+            cosb = cos_ref[0:half, :]  # untiled base tables, f32
+            sinb = sin_ref[0:half, :]
 
         def k_path(gi):
             """t (W, BS) in compute dtype: roped-K logit contributions per
@@ -179,8 +203,10 @@ def _make_kernel4(
             a2 = a2_ref[:, gi : gi + 1]
             b1g = b1t_ref[gi].astype(jnp.float32)
             b2g = b2t_ref[gi].astype(jnp.float32)
-            bq1 = (a1 * b1g + a2 * b2g).astype(cdt)  # (W, rk)
-            bq2 = (a2 * b1g - a1 * b2g).astype(cdt)
+            bq1f = a1 * b1g + a2 * b2g  # (W, rk) f32
+            bq2f = a2 * b1g - a1 * b2g
+            bq1 = bq1f.astype(cdt)
+            bq2 = bq2f.astype(cdt)
             ck = _rows(xk_codes[gi], rk)
             # Mosaic requires 32-bit matmul accumulators; rot_dtype only
             # affects the elementwise rotation (and the table residency)
@@ -190,13 +216,29 @@ def _make_kernel4(
             v = jax.lax.dot_general(
                 bq2, ck, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(rot_dtype)
-            return (u * cos + v * sin).astype(cdt)
+            t = (u * cos + v * sin).astype(cdt)
+            if not asym:
+                return t, None
+            # zero-term correction (docstring 4b): the per-token zero z adds
+            # z * (seg @ (cos*rowsum(bq1) + sin*rowsum(bq2))) to the logits;
+            # the tiled tables make that R1 @ cosb + R2 @ sinb
+            r1 = jnp.sum(bq1f, axis=1).reshape(hpg, half)
+            r2 = jnp.sum(bq2f, axis=1).reshape(hpg, half)
+            corr = (
+                jax.lax.dot_general(r1, cosb, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(r2, sinb, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            )  # (hpg, BS)
+            return t, corr
 
         # ---- K path: per-pair segment dot -> (2*hpg, BS), tile-aligned ----
         parts = []
         if pair:
             for gj in range(0, g, 2):
-                t2 = jnp.concatenate([k_path(gj), k_path(gj + 1)], axis=0)
+                t_a, c_a = k_path(gj)
+                t_b, c_b = k_path(gj + 1)
+                t2 = jnp.concatenate([t_a, t_b], axis=0)
                 lg2 = jnp.dot(seg_ref[...].astype(cdt), t2,
                               preferred_element_type=jnp.float32)  # (2hpg, BS)
                 if bits is None:
@@ -206,13 +248,24 @@ def _make_kernel4(
                         [jnp.broadcast_to(ks_rows[gj + m : gj + m + 1, :],
                                           (hpg, block_s)) for m in range(2)],
                         axis=0)
-                    parts.append(lg2 * sc)
+                    lg2 = lg2 * sc
+                    if asym:
+                        zc = jnp.concatenate(
+                            [jnp.broadcast_to(kz_rows[gj + m : gj + m + 1, :],
+                                              (hpg, block_s)) for m in range(2)],
+                            axis=0)
+                        lg2 = lg2 + jnp.concatenate([c_a, c_b], axis=0) * zc
+                    parts.append(lg2)
         else:
             for gi in range(g):
+                t_g, c_g = k_path(gi)
                 lg = jnp.dot(seg_ref[0:hpg, 0 : hpg * half].astype(cdt),
-                             k_path(gi), preferred_element_type=jnp.float32)
-                parts.append(lg if bits is None
-                             else lg * ks_rows[gi : gi + 1, :])
+                             t_g, preferred_element_type=jnp.float32)
+                if bits is not None:
+                    lg = lg * ks_rows[gi : gi + 1, :]
+                    if asym:
+                        lg = lg + c_g * kz_rows[gi : gi + 1, :]
+                parts.append(lg)
         logits = jnp.concatenate(parts, axis=0)  # (nh, BS); 1/sqrt(hd) in q
         logits = jnp.where(valid, logits, -1e30)
 
@@ -236,6 +289,10 @@ def _make_kernel4(
             pv = jax.lax.dot_general(
                 ps, cv, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (hpg, rv)
+            if asym:
+                # zero-term: sum_s p[h,s] * z[s], broadcast over rv
+                pv = pv + jnp.sum(p_g * vz_rows[gi : gi + 1, :],
+                                  axis=1, keepdims=True)
             alpha_g = alpha[gi * hpg : (gi + 1) * hpg, :]
             acc_scr[gi] = acc_scr[gi] * alpha_g + pv
         m_scr[0:nh, 0:1] = m_new
@@ -254,7 +311,9 @@ def _call4(
     q, b_k, xk_rows, xk_scale, xv_rows, xv_scale, kv_len,
     *, bits, rk, rv, block_s, theta, sliding_window, interpret,
     compute_dtype, inv_freq_static, rope_scale, rot_dtype=jnp.float32,
+    xk_zero=None, xv_zero=None,
 ):
+    asym = xk_zero is not None
     b, nh, hd = q.shape
     g, hpg = b_k.shape[0], b_k.shape[1]
     s_max = xk_rows.shape[3]
@@ -264,6 +323,8 @@ def _call4(
     nrv = packed_nrows(rv, bits) if bits is not None else rv
     assert xk_rows.shape[2] == nrk and xv_rows.shape[2] == nrv
     assert xk_scale.shape == (b, g, s_max) and xv_scale.shape == (b, g, s_max)
+    if asym:
+        assert xk_zero.shape == (b, g, s_max) and xv_zero.shape == (b, g, s_max)
     assert s_max % block_s == 0
     nblk = s_max // block_s
 
@@ -293,7 +354,7 @@ def _call4(
     kernel = _make_kernel4(
         block_s=block_s, g=g, hpg=hpg, half=half,
         sliding_window=sliding_window, bits=bits, rk=rk, rv=rv,
-        compute_dtype=compute_dtype, rot_dtype=rot_dtype,
+        compute_dtype=compute_dtype, rot_dtype=rot_dtype, asym=asym,
     )
 
     grid = (b, nblk)
@@ -323,7 +384,17 @@ def _call4(
                 pl.BlockSpec((None, g, nrv, block_s),
                              lambda bi, si, *_: (bi, 0, 0, si)),
                 pl.BlockSpec((None, g, block_s), lambda bi, si, *_: (bi, 0, si)),
-            ],
+            ]
+            + (
+                [
+                    pl.BlockSpec((None, g, block_s),
+                                 lambda bi, si, *_: (bi, 0, si)),
+                    pl.BlockSpec((None, g, block_s),
+                                 lambda bi, si, *_: (bi, 0, si)),
+                ]
+                if asym
+                else []
+            ),
             out_specs=pl.BlockSpec(
                 (None, g, hpg, rv), lambda bi, si, *_: (bi, 0, 0, 0)
             ),
@@ -341,6 +412,11 @@ def _call4(
         jnp.asarray(cos_t), jnp.asarray(sin_t),
         xk_rows, xk_scale.astype(jnp.float32),
         xv_rows, xv_scale.astype(jnp.float32),
+        *(
+            (xk_zero.astype(jnp.float32), xv_zero.astype(jnp.float32))
+            if asym
+            else ()
+        ),
     )
     return out.reshape(b, nh, rv)
 
@@ -371,23 +447,33 @@ def palu_flash_decode4_quantized(
     inv_freq_static=None,
     rope_scale: float = 1.0,
     rot_dtype=jnp.float32,
+    xk_zero: Optional[jax.Array] = None,  # (B, G, S_max) f32, asym only
+    xv_zero: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Decode attention over a SYMMETRICALLY quantized rank-major latent
-    cache -> (B, nh, rv) latent-space output.
+    """Decode attention over an affine-quantized rank-major latent cache
+    -> (B, nh, rv) latent-space output.
 
-    Codes are the unsigned `quantize_affine` codes of a sym QuantConfig
-    (zero-point == q_min * scale identically), so dequant inside the kernel
-    is `scale * (code - 2^(bits-1))`.  See the module docstring for the
-    transposed design; numerics are differentially tested against the XLA
-    dequant reference in tests/test_pallas_decode4.py.
+    Codes are the unsigned `quantize_affine` codes.  Symmetric configs
+    (zero-point == q_min * scale identically) dequantize in-kernel as
+    `scale * (code - 2^(bits-1))` with no zero-point arrays; asymmetric
+    configs (the reference's canonical accuracy protocol,
+    /root/reference/utils.py:106, README.md:78-86) pass per-token
+    xk_zero/xv_zero rows and the kernel folds the whole zero term past
+    the big dots (module docstring 4b).  Differentially tested against
+    the XLA dequant reference in tests/test_pallas_decode4.py.
     """
-    assert qcfg.enabled and qcfg.group_size == 0 and qcfg.sym
+    assert qcfg.enabled and qcfg.group_size == 0
+    if qcfg.sym:
+        assert xk_zero is None and xv_zero is None
+    else:
+        assert xk_zero is not None and xv_zero is not None
     return _call4(
         q, b_k, xk_codes, xk_scale, xv_codes, xv_scale, kv_len,
         bits=qcfg.bits, rk=rk, rv=rv, block_s=block_s, theta=theta,
         sliding_window=sliding_window, interpret=interpret,
         compute_dtype=compute_dtype, inv_freq_static=inv_freq_static,
         rope_scale=rope_scale, rot_dtype=rot_dtype,
+        xk_zero=xk_zero, xv_zero=xv_zero,
     )
 
 

@@ -43,9 +43,10 @@ __all__ = [
 
 def rank_major(qcfg: Optional[quant.QuantConfig]) -> bool:
     """True when the cache uses the rank-major packed layout: per-row
-    quantization (sym -> the v4 transposed kernel's native layout, no zero
-    row; asym -> the v2 kernel's layout with an extra zero row). Per-chunk
-    (group_size > 0) quantization keeps the seq-major layout + v1 kernel."""
+    quantization feeds the v4 transposed kernel (sym: no zero row; asym: an
+    extra per-token zero row consumed by the kernel's folded zero-point
+    corrections). Per-chunk (group_size > 0) quantization keeps the
+    seq-major layout + v1 kernel."""
     return qcfg is not None and qcfg.enabled and qcfg.group_size == 0
 
 

@@ -704,11 +704,14 @@ class Engine:
             # per-chunk-quantized caches (group_size > 0 -- no fused kernel
             # consumes per-chunk scales) use the XLA path below.
             from ..ops.pallas import palu_decode as pk
-            from ..ops.pallas import palu_decode2 as pk2
             from ..ops.pallas import palu_decode4 as pk4
 
-            use_v4 = rm and ecfg.qcfg.sym  # sym rank-major -> v4 transposed
-            use_v2 = rm and not ecfg.qcfg.sym  # asym rank-major -> v2
+            # rank-major (per-row) quantized caches all run the v4
+            # transposed kernel; asym passes its per-token zero rows and
+            # the kernel folds the zero term past the big dots
+            # (palu_decode4.py docstring 4b). v2 remains only as a
+            # benchmark comparison point.
+            use_v4 = rm
             block_s = self._pallas_block
 
             def kernel_call(q_, b_k_, k_bufs, v_bufs, kv_len_):
@@ -721,27 +724,15 @@ class Engine:
                         inv_freq_static=self._inv_freq_static,
                         rope_scale=self._rope_scale,
                     )
-                if use_v2:
-                    g_ = k_bufs["scale_t"].shape[1]
-                    s_max_ = k_bufs["scale_t"].shape[3]
-                    return pk2.palu_flash_decode2_quantized(
-                        q_, b_k_,
-                        k_bufs["codes_t"],
-                        k_bufs["scale_t"].reshape(-1, g_, s_max_),
-                        k_bufs["zero_t"].reshape(-1, g_, s_max_),
-                        v_bufs["codes_t"],
-                        v_bufs["scale_t"].reshape(-1, g_, s_max_),
-                        v_bufs["zero_t"].reshape(-1, g_, s_max_),
-                        kv_len_,
-                        qcfg=ecfg.qcfg, rk=rk, rv=rv, block_s=block_s,
-                        theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
-                        interpret=ecfg.pallas_interpret,
-                        inv_freq_static=self._inv_freq_static,
-                        rope_scale=self._rope_scale,
-                    )
                 if use_v4:
                     g_ = k_bufs["scale_t"].shape[1]
                     s_max_ = k_bufs["scale_t"].shape[3]
+                    zeros = {}
+                    if not ecfg.qcfg.sym:
+                        zeros = {
+                            "xk_zero": k_bufs["zero_t"].reshape(-1, g_, s_max_),
+                            "xv_zero": v_bufs["zero_t"].reshape(-1, g_, s_max_),
+                        }
                     return pk4.palu_flash_decode4_quantized(
                         q_, b_k_,
                         k_bufs["codes_t"],
@@ -754,6 +745,7 @@ class Engine:
                         interpret=ecfg.pallas_interpret,
                         inv_freq_static=self._inv_freq_static,
                         rope_scale=self._rope_scale,
+                        **zeros,
                     )
                 return pk.palu_flash_decode(
                     q_, b_k_, k_bufs["lat"], v_bufs["lat"], kv_len_,

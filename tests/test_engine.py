@@ -262,8 +262,9 @@ def test_ragged_ranks_across_layers():
     "bits,sym", [(16, False), (3, False), (3, True), (4, True), (2, True)]
 )
 def test_engine_pallas_path_matches_xla(bits, sym):
-    """use_pallas (interpret) engine == XLA engine: fp cache, asym 3-bit
-    (v2 rank-major kernel), and sym 2/3/4-bit (v4 rank-major kernel)."""
+    """use_pallas (interpret) engine == XLA engine: fp cache, plus sym and
+    asym rank-major packed caches (both through the v4 transposed kernel;
+    asym exercises the folded zero-point corrections)."""
     params, cfg = _lowrank_model(seed=21, rank=16, gs=2)
     qcfg = QuantConfig(bits=bits, group_size=0, sym=sym) if bits < 16 else None
     ids = np.random.default_rng(21).integers(0, cfg.vocab_size, (1, 12))

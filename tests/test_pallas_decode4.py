@@ -49,18 +49,19 @@ def _xla_reference(q, b_k, x_k, x_v, kv_len, chunk=64, sliding_window=None,
     )
 
 
-def _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, rk, rv, **kw):
-    qcfg = QuantConfig(bits=bits, group_size=0, sym=True)
+def _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, rk, rv, sym=True, **kw):
+    qcfg = QuantConfig(bits=bits, group_size=0, sym=sym)
     kc, ks, kz = quant_mod.quantize_affine(x_k, qcfg)
     vc, vs, vz = quant_mod.quantize_affine(x_v, qcfg)
     x_k_dq = kc.astype(jnp.float32) * ks + kz
     x_v_dq = vc.astype(jnp.float32) * vs + vz
+    zeros = {} if sym else {"xk_zero": kz[..., 0], "xv_zero": vz[..., 0]}
     out = palu_flash_decode4_quantized(
         q, b_k,
         quant_mod.pack_codes_t(kc, bits), ks[..., 0],
         quant_mod.pack_codes_t(vc, bits), vs[..., 0],
         kvl, qcfg=qcfg, rk=rk, rv=rv, block_s=64, interpret=True,
-        compute_dtype=jnp.float32, **kw,
+        compute_dtype=jnp.float32, **zeros, **kw,
     )
     return np.asarray(out), x_k_dq, x_v_dq
 
@@ -72,6 +73,47 @@ def test_v4_quantized_matches_dequant_xla(bits, kv_len):
     out, x_k_dq, x_v_dq = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64)
     ref = np.asarray(_xla_reference(q, b_k, x_k_dq, x_v_dq, kvl))
     assert out.shape == ref.shape
+    assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
+
+
+@pytest.mark.parametrize("bits", [8, 4, 3, 2])
+@pytest.mark.parametrize("kv_len", [200, 256, 1])
+def test_v4_asym_matches_dequant_xla(bits, kv_len):
+    """ASYMMETRIC quantization (the reference's canonical accuracy config,
+    /root/reference/README.md:78-86) through the v4 transposed kernel."""
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=kv_len, seed=3)
+    out, x_k_dq, x_v_dq = _quantize_and_run(
+        q, b_k, x_k, x_v, kvl, bits, 32, 64, sym=False)
+    ref = np.asarray(_xla_reference(q, b_k, x_k_dq, x_v_dq, kvl))
+    assert out.shape == ref.shape
+    assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
+
+
+def test_v4_asym_odd_groups_sliding_window_batch():
+    q, b_k, x_k, x_v, kvl = _setup(b=2, g=3, kv_len=100, seed=4)
+    out, x_k_dq, x_v_dq = _quantize_and_run(
+        q, b_k, x_k, x_v, kvl, 3, 32, 64, sym=False, sliding_window=50)
+    ref = np.asarray(
+        _xla_reference(q, b_k, x_k_dq, x_v_dq, kvl, sliding_window=50))
+    assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
+
+
+def test_v4_asym_rope_scaling_static():
+    from palu_tpu.models import rope as rope_mod
+    from palu_tpu.models.config import ModelConfig
+
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=200, seed=5)
+    cfg = ModelConfig(rope_scaling={"rope_type": "linear", "factor": 2.0},
+                      num_attention_heads=8, num_key_value_heads=8,
+                      hidden_size=1024)
+    inv_freq, scale = rope_mod.inv_freq_and_scale(cfg)
+    out, x_k_dq, x_v_dq = _quantize_and_run(
+        q, b_k, x_k, x_v, kvl, 4, 32, 64, sym=False,
+        inv_freq_static=tuple(float(f) for f in inv_freq),
+        rope_scale=float(scale),
+    )
+    ref = np.asarray(_xla_reference(
+        q, b_k, x_k_dq, x_v_dq, kvl, inv_freq=inv_freq, rope_scale=scale))
     assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
 
 

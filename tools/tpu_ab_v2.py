@@ -101,6 +101,19 @@ def make_fn(variant):
         args = (b_k, qm.pack_codes_t(kc, bits), sz_pack(kss[..., 0], kz[..., 0]),
                 qm.pack_codes_t(vc, bits), sz_pack(vss[..., 0], vz[..., 0]), kvl)
         sol = sol_bf16 * (bits / 16 + 0.02)
+    elif variant.startswith("v4a"):
+        # asym (zero-point) v4: the reference's canonical accuracy config
+        bits = int(variant[3:])
+        qc = QuantConfig(bits=bits, group_size=0, sym=False)
+        kc, kss, kz = qm.quantize_affine(x_k, qc)
+        vc, vss, vz = qm.quantize_affine(x_v, qc)
+        fn = jax.jit(functools.partial(
+            palu_flash_decode4_quantized, qcfg=qc, rk=rk, rv=rv,
+            block_s=block_s))
+        args = (b_k, qm.pack_codes_t(kc, bits), kss[..., 0],
+                qm.pack_codes_t(vc, bits), vss[..., 0], kvl)
+        fn = functools.partial(fn, xk_zero=kz[..., 0], xv_zero=vz[..., 0])
+        sol = sol_bf16 * (bits / 16 + 0.02)
     elif variant.startswith("v4q"):
         # "v4q4r" = bf16 in-kernel rotation (rot_dtype); "v4q4" = fp32
         rot = jnp.bfloat16 if variant.endswith("r") else jnp.float32
