@@ -169,134 +169,148 @@ def _make_kernel4(
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
         pos_start = sblk * block_s
-        # rot_dtype=bf16 halves the elementwise-RoPE VPU work (the largest
-        # non-MXU cost); fp32 (default) keeps full logit precision
-        cos = cos_ref[...].astype(rot_dtype)  # (W, BS) static relative tables
-        sin = sin_ref[...].astype(rot_dtype)
-
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1) + pos_start
-        valid = pos < kv_len  # (1, BS) -- broadcasts over head sublanes
+        # Skip the whole block body for blocks past kv_len (and, with a
+        # sliding window, blocks wholly before it): decode cost then scales
+        # with the LIVE context length instead of the allocated s_max --
+        # buffers are typically over-allocated (bench: s_max rounds up to
+        # the block grid; serving: short requests sit in long lanes). The
+        # skipped block's DMA still streams, but the kernel is compute-
+        # bound (docs/BENCH.md), so the block's cost effectively vanishes.
+        active = pos_start < kv_len
         if sliding_window is not None:
-            valid = jnp.logical_and(valid, pos > (kv_len - 1) - sliding_window)
+            active = jnp.logical_and(
+                active, pos_start + block_s > kv_len - sliding_window)
 
-        ks_rows = xk_s[...]  # (g, BS) per-token K scales
-        vs_rows = xv_s[...]
-        if asym:
-            kz_rows = xk_z[...]  # (g, BS) per-token zero-points (value units)
-            vz_rows = xv_z[...]
-            cosb = cos_ref[0:half, :]  # untiled base tables, f32
-            sinb = sin_ref[0:half, :]
+        @pl.when(active)
+        def _block_body():
+            # rot_dtype=bf16 halves the elementwise-RoPE VPU work (the largest
+            # non-MXU cost); fp32 (default) keeps full logit precision
+            cos = cos_ref[...].astype(rot_dtype)  # (W, BS) static relative tables
+            sin = sin_ref[...].astype(rot_dtype)
 
-        def k_path(gi):
-            """t (W, BS) in compute dtype: roped-K logit contributions per
-            lane, before segment summation and per-token scaling.
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1) + pos_start
+            valid = pos < kv_len  # (1, BS) -- broadcasts over head sublanes
+            if sliding_window is not None:
+                valid = jnp.logical_and(valid, pos > (kv_len - 1) - sliding_window)
 
-            The query (offset-rotated lanes a1/a2) is folded into the
-            reconstruct OPERAND -- bq1 = a1*B1^T + a2*B2^T, a tiny (W, rk)
-            elementwise build -- so the post-dot rotation is just
-            cos*u + sin*v instead of building two (W, BS) ca tables:
-              u = bq1 @ ck = a1*xb1 + a2*xb2
-              v = bq2 @ ck = a2*xb1 - a1*xb2
-              cos*u + sin*v = xb1*(cos*a1 + sin*a2) + xb2*(cos*a2 - sin*a1)
-            which is exactly the roped logit contribution."""
-            a1 = a1_ref[:, gi : gi + 1]  # (W, 1) offset-rotated query lanes
-            a2 = a2_ref[:, gi : gi + 1]
-            b1g = b1t_ref[gi].astype(jnp.float32)
-            b2g = b2t_ref[gi].astype(jnp.float32)
-            bq1f = a1 * b1g + a2 * b2g  # (W, rk) f32
-            bq2f = a2 * b1g - a1 * b2g
-            bq1 = bq1f.astype(cdt)
-            bq2 = bq2f.astype(cdt)
-            ck = _rows(xk_codes[gi], rk)
-            # Mosaic requires 32-bit matmul accumulators; rot_dtype only
-            # affects the elementwise rotation (and the table residency)
-            u = jax.lax.dot_general(
-                bq1, ck, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(rot_dtype)  # (W, BS)
-            v = jax.lax.dot_general(
-                bq2, ck, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(rot_dtype)
-            t = (u * cos + v * sin).astype(cdt)
-            if not asym:
-                return t, None
-            # zero-term correction (docstring 4b): the per-token zero z adds
-            # z * (seg @ (cos*rowsum(bq1) + sin*rowsum(bq2))) to the logits;
-            # the tiled tables make that R1 @ cosb + R2 @ sinb
-            r1 = jnp.sum(bq1f, axis=1).reshape(hpg, half)
-            r2 = jnp.sum(bq2f, axis=1).reshape(hpg, half)
-            corr = (
-                jax.lax.dot_general(r1, cosb, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(r2, sinb, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            )  # (hpg, BS)
-            return t, corr
+            ks_rows = xk_s[...]  # (g, BS) per-token K scales
+            vs_rows = xv_s[...]
+            if asym:
+                kz_rows = xk_z[...]  # (g, BS) per-token zero-points (value units)
+                vz_rows = xv_z[...]
+                cosb = cos_ref[0:half, :]  # untiled base tables, f32
+                sinb = sin_ref[0:half, :]
 
-        # ---- K path: per-pair segment dot -> (2*hpg, BS), tile-aligned ----
-        parts = []
-        if pair:
-            for gj in range(0, g, 2):
-                t_a, c_a = k_path(gj)
-                t_b, c_b = k_path(gj + 1)
-                t2 = jnp.concatenate([t_a, t_b], axis=0)
-                lg2 = jnp.dot(seg_ref[...].astype(cdt), t2,
-                              preferred_element_type=jnp.float32)  # (2hpg, BS)
-                if bits is None:
-                    parts.append(lg2)
-                else:
-                    sc = jnp.concatenate(
-                        [jnp.broadcast_to(ks_rows[gj + m : gj + m + 1, :],
-                                          (hpg, block_s)) for m in range(2)],
-                        axis=0)
-                    lg2 = lg2 * sc
-                    if asym:
-                        zc = jnp.concatenate(
-                            [jnp.broadcast_to(kz_rows[gj + m : gj + m + 1, :],
+            def k_path(gi):
+                """t (W, BS) in compute dtype: roped-K logit contributions per
+                lane, before segment summation and per-token scaling.
+
+                The query (offset-rotated lanes a1/a2) is folded into the
+                reconstruct OPERAND -- bq1 = a1*B1^T + a2*B2^T, a tiny (W, rk)
+                elementwise build -- so the post-dot rotation is just
+                cos*u + sin*v instead of building two (W, BS) ca tables:
+                  u = bq1 @ ck = a1*xb1 + a2*xb2
+                  v = bq2 @ ck = a2*xb1 - a1*xb2
+                  cos*u + sin*v = xb1*(cos*a1 + sin*a2) + xb2*(cos*a2 - sin*a1)
+                which is exactly the roped logit contribution."""
+                a1 = a1_ref[:, gi : gi + 1]  # (W, 1) offset-rotated query lanes
+                a2 = a2_ref[:, gi : gi + 1]
+                b1g = b1t_ref[gi].astype(jnp.float32)
+                b2g = b2t_ref[gi].astype(jnp.float32)
+                bq1f = a1 * b1g + a2 * b2g  # (W, rk) f32
+                bq2f = a2 * b1g - a1 * b2g
+                bq1 = bq1f.astype(cdt)
+                bq2 = bq2f.astype(cdt)
+                ck = _rows(xk_codes[gi], rk)
+                # Mosaic requires 32-bit matmul accumulators; rot_dtype only
+                # affects the elementwise rotation (and the table residency)
+                u = jax.lax.dot_general(
+                    bq1, ck, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(rot_dtype)  # (W, BS)
+                v = jax.lax.dot_general(
+                    bq2, ck, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(rot_dtype)
+                t = (u * cos + v * sin).astype(cdt)
+                if not asym:
+                    return t, None
+                # zero-term correction (docstring 4b): the per-token zero z adds
+                # z * (seg @ (cos*rowsum(bq1) + sin*rowsum(bq2))) to the logits;
+                # the tiled tables make that R1 @ cosb + R2 @ sinb
+                r1 = jnp.sum(bq1f, axis=1).reshape(hpg, half)
+                r2 = jnp.sum(bq2f, axis=1).reshape(hpg, half)
+                corr = (
+                    jax.lax.dot_general(r1, cosb, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(r2, sinb, (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+                )  # (hpg, BS)
+                return t, corr
+
+            # ---- K path: per-pair segment dot -> (2*hpg, BS), tile-aligned ----
+            parts = []
+            if pair:
+                for gj in range(0, g, 2):
+                    t_a, c_a = k_path(gj)
+                    t_b, c_b = k_path(gj + 1)
+                    t2 = jnp.concatenate([t_a, t_b], axis=0)
+                    lg2 = jnp.dot(seg_ref[...].astype(cdt), t2,
+                                  preferred_element_type=jnp.float32)  # (2hpg, BS)
+                    if bits is None:
+                        parts.append(lg2)
+                    else:
+                        sc = jnp.concatenate(
+                            [jnp.broadcast_to(ks_rows[gj + m : gj + m + 1, :],
                                               (hpg, block_s)) for m in range(2)],
                             axis=0)
-                        lg2 = lg2 + jnp.concatenate([c_a, c_b], axis=0) * zc
-                    parts.append(lg2)
-        else:
-            for gi in range(g):
-                t_g, c_g = k_path(gi)
-                lg = jnp.dot(seg_ref[0:hpg, 0 : hpg * half].astype(cdt),
-                             t_g, preferred_element_type=jnp.float32)
-                if bits is not None:
-                    lg = lg * ks_rows[gi : gi + 1, :]
-                    if asym:
-                        lg = lg + c_g * kz_rows[gi : gi + 1, :]
-                parts.append(lg)
-        logits = jnp.concatenate(parts, axis=0)  # (nh, BS); 1/sqrt(hd) in q
-        logits = jnp.where(valid, logits, -1e30)
-
-        # ---- online softmax carry: head stats are (nh, 1) columns ----
-        m_prev = m_scr[0:nh, 0:1]
-        l_prev = l_scr[0:nh, 0:1]
-        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new)  # (nh, BS)
-        p = jnp.where(valid, p, 0.0)
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-
-        # ---- V path: (hpg, BS) @ (rv, BS)^T, contraction over seq lanes ----
-        for gi in range(g):
-            cv = _rows(xv_codes[gi], rv)
-            p_g = p[gi * hpg : (gi + 1) * hpg, :]
-            if bits is None:
-                ps = p_g.astype(cdt)
+                        lg2 = lg2 * sc
+                        if asym:
+                            zc = jnp.concatenate(
+                                [jnp.broadcast_to(kz_rows[gj + m : gj + m + 1, :],
+                                                  (hpg, block_s)) for m in range(2)],
+                                axis=0)
+                            lg2 = lg2 + jnp.concatenate([c_a, c_b], axis=0) * zc
+                        parts.append(lg2)
             else:
-                ps = (p_g * vs_rows[gi : gi + 1, :]).astype(cdt)
-            pv = jax.lax.dot_general(
-                ps, cv, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (hpg, rv)
-            if asym:
-                # zero-term: sum_s p[h,s] * z[s], broadcast over rv
-                pv = pv + jnp.sum(p_g * vz_rows[gi : gi + 1, :],
-                                  axis=1, keepdims=True)
-            alpha_g = alpha[gi * hpg : (gi + 1) * hpg, :]
-            acc_scr[gi] = acc_scr[gi] * alpha_g + pv
-        m_scr[0:nh, 0:1] = m_new
-        l_scr[0:nh, 0:1] = l_new
+                for gi in range(g):
+                    t_g, c_g = k_path(gi)
+                    lg = jnp.dot(seg_ref[0:hpg, 0 : hpg * half].astype(cdt),
+                                 t_g, preferred_element_type=jnp.float32)
+                    if bits is not None:
+                        lg = lg * ks_rows[gi : gi + 1, :]
+                        if asym:
+                            lg = lg + c_g * kz_rows[gi : gi + 1, :]
+                    parts.append(lg)
+            logits = jnp.concatenate(parts, axis=0)  # (nh, BS); 1/sqrt(hd) in q
+            logits = jnp.where(valid, logits, -1e30)
+
+            # ---- online softmax carry: head stats are (nh, 1) columns ----
+            m_prev = m_scr[0:nh, 0:1]
+            l_prev = l_scr[0:nh, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits - m_new)  # (nh, BS)
+            p = jnp.where(valid, p, 0.0)
+            l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+            # ---- V path: (hpg, BS) @ (rv, BS)^T, contraction over seq lanes ----
+            for gi in range(g):
+                cv = _rows(xv_codes[gi], rv)
+                p_g = p[gi * hpg : (gi + 1) * hpg, :]
+                if bits is None:
+                    ps = p_g.astype(cdt)
+                else:
+                    ps = (p_g * vs_rows[gi : gi + 1, :]).astype(cdt)
+                pv = jax.lax.dot_general(
+                    ps, cv, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (hpg, rv)
+                if asym:
+                    # zero-term: sum_s p[h,s] * z[s], broadcast over rv
+                    pv = pv + jnp.sum(p_g * vz_rows[gi : gi + 1, :],
+                                      axis=1, keepdims=True)
+                alpha_g = alpha[gi * hpg : (gi + 1) * hpg, :]
+                acc_scr[gi] = acc_scr[gi] * alpha_g + pv
+            m_scr[0:nh, 0:1] = m_new
+            l_scr[0:nh, 0:1] = l_new
 
         @pl.when(sblk == nblk - 1)
         def _finalize():

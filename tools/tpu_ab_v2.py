@@ -32,6 +32,7 @@ from palu_tpu.ops.pallas.palu_decode4 import (
 from palu_tpu.ops import attention as att_ops
 
 seq = int(os.environ.get("SEQ", 65536))
+kvl_live = int(os.environ.get("KVL", seq))  # live context < seq buffer: tests block skip
 block_s = int(os.environ.get("BS", 1024))
 g, hpg, rk, rv, hd = 8, 4, 128, 384, 128
 nh = g * hpg
@@ -42,7 +43,7 @@ q0 = jax.random.normal(ks[0], (1, nh, hd), jnp.bfloat16)
 b_k = jax.random.normal(ks[1], (g, hpg, rk, hd), jnp.bfloat16) * 0.1
 x_k = jax.random.normal(ks[2], (1, g, seq, rk), jnp.bfloat16)
 x_v = jax.random.normal(ks[3], (1, g, seq, rv), jnp.bfloat16)
-kvl = jnp.full((1,), seq, jnp.int32)
+kvl = jnp.full((1,), kvl_live, jnp.int32)
 
 variants = sys.argv[1:] or ["v1", "v2", "v2q3", "v2q4"]
 bump = jax.jit(lambda a: a * jnp.bfloat16(1.0001))
