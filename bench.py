@@ -200,11 +200,16 @@ def bench_attention_module(
 
     dense_jit = jax.jit(dense_step, donate_argnums=(1, 2))
 
-    def run(step, bufs):
+    def run(step, bufs, k_calls=4):
         """Chain n_steps decode steps inside ONE executable (lax.scan with a
-        data dependency) -- host->device dispatch here costs ~ms through the
-        tunnel, so per-step host timing is meaningless; this is also the XLA
-        analog of the reference's CUDA-graph capture."""
+        data dependency; the XLA analog of the reference's CUDA-graph
+        capture), then time by MULTI-CALL DIFFERENCING: the tunneled backend
+        has a ~38-44 ms fixed dispatch+fetch round trip per jitted call
+        (measured with a tiny jit; round 3), so a single chained call
+        overstates the per-step time by RTT/n_steps (~0.15 ms at 256).
+        Back-to-back calls pipeline on device (async dispatch); timing one
+        call and k calls and taking (t_k - t_1)/((k-1)*n_steps) cancels the
+        round trip exactly and yields true device time per step."""
         x0 = jnp.asarray(rng.standard_normal((1, hidden)) * 0.1, bf)
         pos0 = jnp.asarray(prompt_len, jnp.int32)
 
@@ -223,13 +228,22 @@ def bench_attention_module(
         chained_jit = jax.jit(chained, donate_argnums=(1,))
         x_out, bufs = chained_jit(x0, bufs)  # compile + warmup run
         _ = np.asarray(x_out[0, :1])  # fetch: block_until_ready can ack
-        best = float("inf")           # before compute on tunneled backends
-        for _rep in range(3):         # 3 reps, min: clocks ramp over ~100ms
-            t0 = time.perf_counter()  # so rep 1 runs on a cold chip after
-            x_out, bufs = chained_jit(x_out, bufs)  # the compile gap
-            _ = np.asarray(x_out[0, :1])
-            best = min(best, time.perf_counter() - t0)
-        return float(best / n_steps * 1e3)
+        # before compute on tunneled backends
+
+        def timed(ncalls):
+            nonlocal x_out, bufs
+            best = float("inf")       # 3 reps, min: clocks ramp over ~100ms
+            for _rep in range(3):
+                t0 = time.perf_counter()
+                for _ in range(ncalls):
+                    x_out, bufs = chained_jit(x_out, bufs)
+                _ = np.asarray(x_out[0, :1])
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t1 = timed(1)
+        tk = timed(k_calls)
+        return float((tk - t1) / ((k_calls - 1) * n_steps) * 1e3)
 
     log(f"# compiling palu step (s_max={s_max})...", file=sys.stderr)
     xk0 = jnp.zeros((1, g, rk, s_max), bf)

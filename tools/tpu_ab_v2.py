@@ -189,13 +189,24 @@ def time_chained(fn, args):
     out = cj(q0, *args)
     _ = np.asarray(out[0, 0, :1])  # fetch forces real completion on axon
     compile_s = time.time() - t0
-    reps = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = cj(out, *args)
-        _ = np.asarray(out[0, 0, :1])
-        reps.append((time.perf_counter() - t0) / NCH)
-    return min(reps) * 1e6, compile_s
+
+    # multi-call differencing: the tunnel costs ~38-44 ms fixed
+    # dispatch+fetch per call; (t_k - t_1)/((k-1)*NCH) cancels it exactly
+    # (back-to-back calls pipeline via async dispatch)
+    def timed(ncalls):
+        nonlocal out
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _i in range(ncalls):
+                out = cj(out, *args)
+            _ = np.asarray(out[0, 0, :1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(1)
+    tk = timed(4)
+    return (tk - t1) / (3 * NCH) * 1e6, compile_s
 
 
 print(f"devices: {jax.devices()}  seq={seq} block_s={block_s} chain={0 if direct else NCH} "
