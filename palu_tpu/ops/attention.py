@@ -376,3 +376,91 @@ def flash_decode_latent_seq_sharded(
         in_specs=(P(), P(None, None, axis, None), P(None, None, axis, None), P()),
         out_specs=P(),
     )(q, x_k, x_v, kv_len)
+
+
+def flash_decode_latent_seq_sharded_rank_major(
+    q: jax.Array,  # (B, nh, hd) roped, replicated over the seq axis
+    k_bufs,  # rank-major cache dict: codes_t/scale_t[/zero_t] or lat_t,
+    v_bufs,  # each leaf's LAST dim = sequence, sharded over `axis`
+    b_k: jax.Array,  # (G, hpg, rk, hd) replicated
+    kv_len: jax.Array,  # (B,) global lengths
+    mesh,
+    axis: str,
+    *,
+    qcfg,  # QuantConfig (packed cache) or None (bf16 rank-major lat_t)
+    rk: int,
+    rv: int,
+    block_s: int,
+    theta: float,
+    sliding_window: Optional[int] = None,
+    interpret: bool = False,
+    inv_freq_static=None,
+    rope_scale: float = 1.0,
+) -> jax.Array:
+    """Sequence-sharded fused decode over a RANK-MAJOR latent cache (packed
+    low-bit or bf16): each shard runs the v4 transposed kernel on its slice
+    with a pos_offset (absolute-position RoPE composed into the query lanes)
+    and return_stats=True, then the flash-decoding combine (pmax on m,
+    rescaled psums of l and acc) merges shards -- the quantized long-context
+    north star: 64K+ caches sharded over chips stay packed end to end.
+
+    The reference has no distributed mode at all (SURVEY section-2.3); this
+    is the TPU-native composition of its abx kernel math with sequence
+    parallelism."""
+    from jax.sharding import PartitionSpec as P
+
+    from palu_tpu.ops.pallas import palu_decode4 as pk4
+    from palu_tpu.parallel.mesh import shard_map_nocheck
+
+    n_shards = mesh.shape[axis]
+    b, nh, hd = q.shape
+    g = b_k.shape[0]
+    seq_leaf = "lat_t" if qcfg is None else "codes_t"
+    s_max = k_bufs[seq_leaf].shape[-1]
+    s_local = s_max // n_shards
+    assert s_local * n_shards == s_max
+    bs = max(1, min(block_s, s_local))
+    while s_local % bs:
+        bs -= 1
+
+    def shard_fn(q_, kb, vb, kvl_):
+        idx = jax.lax.axis_index(axis)
+        offset = (idx * s_local).astype(jnp.int32)
+        common = dict(
+            rk=rk, rv=rv, block_s=bs, theta=theta,
+            sliding_window=sliding_window, interpret=interpret,
+            inv_freq_static=inv_freq_static, rope_scale=rope_scale,
+            pos_offset=offset, return_stats=True,
+        )
+        if qcfg is None:
+            acc, m, l = pk4.palu_flash_decode4(
+                q_, b_k, kb["lat_t"], vb["lat_t"], kvl_, **common)
+        else:
+            zeros = {}
+            if not qcfg.sym:
+                zeros = {
+                    "xk_zero": kb["zero_t"].reshape(b, g, s_local),
+                    "xv_zero": vb["zero_t"].reshape(b, g, s_local),
+                }
+            acc, m, l = pk4.palu_flash_decode4_quantized(
+                q_, b_k,
+                kb["codes_t"], kb["scale_t"].reshape(b, g, s_local),
+                vb["codes_t"], vb["scale_t"].reshape(b, g, s_local),
+                kvl_, qcfg=qcfg, **common, **zeros)
+        m_g = jax.lax.pmax(m, axis)  # (B, nh)
+        scale_ = jnp.exp(m - m_g)
+        l_g = jax.lax.psum(l * scale_, axis)
+        acc_g = jax.lax.psum(acc * scale_[..., None], axis)
+        return acc_g / l_g[..., None]  # (B, nh, rv)
+
+    def buf_specs(bufs):
+        return {
+            k: P(*([None] * (v.ndim - 1) + [axis])) for k, v in bufs.items()
+        }
+
+    return shard_map_nocheck(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), buf_specs(k_bufs), buf_specs(v_bufs), P()),
+        out_specs=P(),
+    )(q, k_bufs, v_bufs, kv_len)

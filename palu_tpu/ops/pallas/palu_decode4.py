@@ -136,12 +136,16 @@ def _make_kernel4(
     compute_dtype=jnp.bfloat16,
     rot_dtype=jnp.float32,
     asym: bool = False,
+    return_stats: bool = False,
 ):
     """bits=None builds the fp (bf16 rank-major latents, no scales) variant;
     the cache refs then hold latent rows directly instead of packed codes,
     and xk_s/xv_s are ignored dummy (g, BS) refs.  asym=True adds per-token
     zero-point refs xk_z/xv_z and the collapsed zero-term corrections
-    (module docstring 4b); codes are then used unsigned (qoff = 0)."""
+    (module docstring 4b); codes are then used unsigned (qoff = 0).
+    return_stats=True skips the final acc/l division and emits the raw
+    flash stats (m, l, acc) -- the flash-decoding combine for a
+    sequence-sharded cache merges per-shard stats outside the kernel."""
     cdt = compute_dtype
     nh = g * hpg
     qoff = 2 ** (bits - 1) if (bits is not None and not asym) else 0
@@ -155,7 +159,9 @@ def _make_kernel4(
     def kernel(kv_len_ref, a1_ref, a2_ref, b1t_ref, b2t_ref, seg_ref,
                cos_ref, sin_ref, xk_codes, xk_s, xv_codes, xv_s, *rest):
         if asym:
-            xk_z, xv_z, out_ref, m_scr, l_scr, acc_scr = rest
+            xk_z, xv_z, *rest = rest
+        if return_stats:
+            out_ref, m_out, l_out, m_scr, l_scr, acc_scr = rest
         else:
             out_ref, m_scr, l_scr, acc_scr = rest
         sblk = pl.program_id(1)
@@ -314,9 +320,15 @@ def _make_kernel4(
 
         @pl.when(sblk == nblk - 1)
         def _finalize():
-            for gi in range(g):
-                l_g = l_scr[gi * hpg : (gi + 1) * hpg, 0:1]
-                out_ref[gi] = (acc_scr[gi] / l_g).astype(out_ref.dtype)
+            if return_stats:
+                for gi in range(g):
+                    out_ref[gi] = acc_scr[gi].astype(out_ref.dtype)
+                m_out[...] = m_scr[...]
+                l_out[...] = l_scr[...]
+            else:
+                for gi in range(g):
+                    l_g = l_scr[gi * hpg : (gi + 1) * hpg, 0:1]
+                    out_ref[gi] = (acc_scr[gi] / l_g).astype(out_ref.dtype)
 
     return kernel
 
@@ -325,7 +337,7 @@ def _call4(
     q, b_k, xk_rows, xk_scale, xv_rows, xv_scale, kv_len,
     *, bits, rk, rv, block_s, theta, sliding_window, interpret,
     compute_dtype, inv_freq_static, rope_scale, rot_dtype=jnp.float32,
-    xk_zero=None, xv_zero=None,
+    xk_zero=None, xv_zero=None, pos_offset=None, return_stats=False,
 ):
     asym = xk_zero is not None
     b, nh, hd = q.shape
@@ -355,9 +367,21 @@ def _call4(
     qg = qf.reshape(b, g, hpg, 2, half)
     q1 = qg[:, :, :, 0, :].reshape(b, g, W)
     q2 = qg[:, :, :, 1, :].reshape(b, g, W)
-    ang0 = (np.arange(nblk, dtype=np.float64) * block_s)[:, None] * inv_freq[None, :]
-    c0 = jnp.asarray(np.tile(np.cos(ang0), (1, hpg)), jnp.float32)  # (nblk, W)
-    s0 = jnp.asarray(np.tile(np.sin(ang0), (1, hpg)), jnp.float32)
+    if pos_offset is None:
+        ang0 = (np.arange(nblk, dtype=np.float64) * block_s)[:, None] * inv_freq[None, :]
+        c0 = jnp.asarray(np.tile(np.cos(ang0), (1, hpg)), jnp.float32)  # (nblk, W)
+        s0 = jnp.asarray(np.tile(np.sin(ang0), (1, hpg)), jnp.float32)
+    else:
+        # traced shard offset (seq-sharded cache): block angles in fp32 --
+        # |err| ~ angle * eps32, ~4e-3 rad at 64K, the precision the fp
+        # seq-sharded combine already runs at; kv_len moves to shard-local
+        # coordinates below
+        posf = (jnp.asarray(np.arange(nblk, dtype=np.float32) * block_s)
+                + jnp.asarray(pos_offset, jnp.float32))
+        ang0_t = posf[:, None] * jnp.asarray(inv_freq, jnp.float32)[None, :]
+        c0 = jnp.tile(jnp.cos(ang0_t), (1, hpg)).astype(jnp.float32)
+        s0 = jnp.tile(jnp.sin(ang0_t), (1, hpg)).astype(jnp.float32)
+        kv_len = jnp.asarray(kv_len, jnp.int32) - jnp.asarray(pos_offset, jnp.int32)
     q1t = jnp.moveaxis(q1, 1, 2)[:, None]  # (B, 1, W, G)
     q2t = jnp.moveaxis(q2, 1, 2)[:, None]
     a1 = q1t * c0[None, :, :, None] + q2t * s0[None, :, :, None]
@@ -369,6 +393,7 @@ def _call4(
         block_s=block_s, g=g, hpg=hpg, half=half,
         sliding_window=sliding_window, bits=bits, rk=rk, rv=rv,
         compute_dtype=compute_dtype, rot_dtype=rot_dtype, asym=asym,
+        return_stats=return_stats,
     )
 
     grid = (b, nblk)
@@ -409,7 +434,11 @@ def _call4(
                 if asym
                 else []
             ),
-            out_specs=pl.BlockSpec(
+            out_specs=(
+                pl.BlockSpec((None, g, hpg, rv), lambda bi, si, *_: (bi, 0, 0, 0)),
+                pl.BlockSpec((None, nhp, 128), lambda bi, si, *_: (bi, 0, 0)),
+                pl.BlockSpec((None, nhp, 128), lambda bi, si, *_: (bi, 0, 0)),
+            ) if return_stats else pl.BlockSpec(
                 (None, g, hpg, rv), lambda bi, si, *_: (bi, 0, 0, 0)
             ),
             scratch_shapes=[
@@ -418,7 +447,11 @@ def _call4(
                 pltpu.VMEM((g, hpg, rv), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, g, hpg, rv), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, g, hpg, rv), jnp.float32),
+            jax.ShapeDtypeStruct((b, nhp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, nhp, 128), jnp.float32),
+        ) if return_stats else jax.ShapeDtypeStruct((b, g, hpg, rv), jnp.float32),
         interpret=interpret,
     )(
         jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,)),
@@ -432,6 +465,9 @@ def _call4(
             else ()
         ),
     )
+    if return_stats:
+        acc, m_full, l_full = out
+        return (acc.reshape(b, nh, rv), m_full[:, :nh, 0], l_full[:, :nh, 0])
     return out.reshape(b, nh, rv)
 
 
@@ -439,7 +475,7 @@ def _call4(
     jax.jit,
     static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window",
                      "interpret", "compute_dtype", "inv_freq_static",
-                     "rope_scale", "rot_dtype"),
+                     "rope_scale", "rot_dtype", "return_stats"),
 )
 def palu_flash_decode4_quantized(
     q: jax.Array,  # (B, nh, hd)
@@ -463,6 +499,8 @@ def palu_flash_decode4_quantized(
     rot_dtype=jnp.float32,
     xk_zero: Optional[jax.Array] = None,  # (B, G, S_max) f32, asym only
     xv_zero: Optional[jax.Array] = None,
+    pos_offset: Optional[jax.Array] = None,  # absolute position of column 0
+    return_stats: bool = False,  # emit raw (acc, m, l) for seq-shard combine
 ) -> jax.Array:
     """Decode attention over an affine-quantized rank-major latent cache
     -> (B, nh, rv) latent-space output.
@@ -488,6 +526,7 @@ def palu_flash_decode4_quantized(
         compute_dtype=compute_dtype, inv_freq_static=inv_freq_static,
         rope_scale=rope_scale, rot_dtype=rot_dtype,
         xk_zero=xk_zero, xv_zero=xv_zero,
+        pos_offset=pos_offset, return_stats=return_stats,
     )
 
 
@@ -495,7 +534,7 @@ def palu_flash_decode4_quantized(
     jax.jit,
     static_argnames=("rk", "rv", "block_s", "theta", "sliding_window",
                      "interpret", "compute_dtype", "inv_freq_static",
-                     "rope_scale", "rot_dtype"),
+                     "rope_scale", "rot_dtype", "return_stats"),
 )
 def palu_flash_decode4(
     q: jax.Array,  # (B, nh, hd)
@@ -514,6 +553,8 @@ def palu_flash_decode4(
     inv_freq_static=None,
     rope_scale: float = 1.0,
     rot_dtype=jnp.float32,
+    pos_offset: Optional[jax.Array] = None,
+    return_stats: bool = False,
 ) -> jax.Array:
     """Transposed-formulation decode over an UNQUANTIZED rank-major latent
     cache -> (B, nh, rv).  Same kernel as the quantized variant with the
@@ -528,4 +569,5 @@ def palu_flash_decode4(
         sliding_window=sliding_window, interpret=interpret,
         compute_dtype=compute_dtype, inv_freq_static=inv_freq_static,
         rope_scale=rope_scale, rot_dtype=rot_dtype,
+        pos_offset=pos_offset, return_stats=return_stats,
     )

@@ -111,8 +111,12 @@ def stacked_weights(key, dense_kv: bool):
         w["wv"] = nrm((H, NH * HD))
         w["wo"] = nrm((NH * HD, H))
     else:
-        w["vt_k"] = nrm((H, G * RK))
-        w["vt_v"] = nrm((H, G * RV))
+        # vt_k/vt_v and b_k stay bf16 even at WBITS=8: the engine's
+        # weight_bits=8 deliberately keeps the latent projections and
+        # reconstruction operands full precision (wquant._ATTN_KEYS never
+        # touches k_proj/v_proj), so the bench must match its read set
+        w["vt_k"] = nrm_bf16((H, G * RK))
+        w["vt_v"] = nrm_bf16((H, G * RV))
         w["b_k"] = nrm_bf16((G, HPG, RK, HD), 0.05)  # kernel operand: bf16
         w["wo_fused"] = nrm((NH * RV, H))
     return w
@@ -219,7 +223,7 @@ def build_palu(bits):
             # feed output back in (data dependency chains the steps)
             return (x * jnp.bfloat16(0.125), cache), ()
         (x, cache), _ = jax.lax.scan(body, (x0, cache), jnp.arange(STEPS))
-        return x
+        return x, cache  # returning the cache lets calls chain (differencing)
 
     x0 = jax.random.normal(jax.random.PRNGKey(2), (1, H), jnp.bfloat16) * 0.1
     return run, x0, make_cache, w
@@ -299,27 +303,38 @@ def build_dense():
             x, cache = step(x, cache, pos, wt)
             return (x * jnp.bfloat16(0.125), cache), ()
         (x, cache), _ = jax.lax.scan(body, (x0, cache), jnp.arange(STEPS))
-        return x
+        return x, cache
 
     x0 = jax.random.normal(jax.random.PRNGKey(2), (1, H), jnp.bfloat16) * 0.1
     return run, x0, make_cache, w
 
 
-def time_variant(name, build):
+def time_variant(name, build, k_calls=3):
+    """Multi-call differencing (docs/BENCH.md methodology, round 3): the
+    tunnel costs ~38-44 ms fixed dispatch+fetch per call; timing 1 call and
+    k back-to-back calls (the donated cache threads through) and taking
+    (t_k - t_1)/((k-1)*STEPS) cancels it exactly."""
     run, x0, make_cache, w0 = build()
     log(f"# {name}: compiling...")
     t0 = time.time()
-    out = run(x0, make_cache(), w0)
+    out, cache = run(x0, make_cache(), w0)
     _ = np.asarray(out[0, :1])
     log(f"# {name}: compile+first {time.time()-t0:.0f}s")
-    ts = []
-    for _ in range(3):
-        cache = make_cache()  # fresh buffers each rep (run donates them)
-        t0 = time.perf_counter()
-        out = run(x0, cache, w0)
-        _ = np.asarray(out[0, :1])
-        ts.append((time.perf_counter() - t0) / STEPS)
-    tpot = min(ts) * 1e3
+
+    def timed(ncalls):
+        nonlocal cache
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _i in range(ncalls):
+                out, cache = run(x0, cache, w0)
+            _ = np.asarray(out[0, :1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(1)
+    tk = timed(k_calls)
+    tpot = (tk - t1) / ((k_calls - 1) * STEPS) * 1e3
     log(f"# {name}: TPOT {tpot:.2f} ms/step ({1e3/tpot:.1f} tok/s, {L} layers)")
     return tpot
 
