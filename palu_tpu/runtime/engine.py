@@ -957,22 +957,41 @@ class Engine:
         )
 
     def generate(self, input_ids, max_new_tokens: int, greedy: bool = True,
-                 eos_token_id: Optional[int] = None):
-        """Greedy generation loop (reference run_long_bench.py:63-81 uses HF
-        greedy generate). Prefill goes through the fixed-chunk streaming path
-        when every k/v layer is low-rank, else a padded length bucket -- both
-        keep the number of compiled executables independent of how many
+                 eos_token_id: Optional[int] = None,
+                 sampling=None, seed: int = 0):
+        """Generation loop (reference run_long_bench.py:63-81 uses HF greedy
+        generate; `sampling` -- a runtime.sampling.SamplingParams -- enables
+        temperature / top-k / top-p with a deterministic per-step PRNG key
+        folded from `seed`). Prefill goes through the fixed-chunk streaming
+        path when every k/v layer is low-rank, else a padded length bucket --
+        both keep the number of compiled executables independent of how many
         distinct prompt lengths are evaluated (run_longbench feeds thousands)."""
+        import functools
+
         input_ids = np.asarray(input_ids)
         # cap at cache capacity (the prompt occupies input length slots)
         max_new_tokens = min(max_new_tokens, self.ecfg.s_max - input_ids.shape[1])
+
+        if sampling is not None and sampling.temperature > 0.0:
+            from .sampling import sample as _sample
+
+            base_key = jax.random.key(seed)
+            samp_jit = jax.jit(functools.partial(_sample, params=sampling))
+
+            def pick(lg, step):
+                key = jax.random.fold_in(base_key, step)
+                return np.asarray(samp_jit(lg[:, -1], key=key))[:, None]
+        else:
+            def pick(lg, step):
+                return np.asarray(jnp.argmax(lg[:, -1], axis=-1))[:, None]
+
         logits, cache = self.prefill_auto(input_ids)
         out_tokens = []
-        next_tok = np.asarray(jnp.argmax(logits[:, -1], axis=-1))[:, None]
-        for _ in range(max_new_tokens):
+        next_tok = pick(logits, 0)
+        for step in range(max_new_tokens):
             out_tokens.append(next_tok)
             if eos_token_id is not None and (next_tok == eos_token_id).all():
                 break
             logits, cache = self.decode(next_tok, cache)
-            next_tok = np.asarray(jnp.argmax(logits[:, -1], axis=-1))[:, None]
+            next_tok = pick(logits, step + 1)
         return np.concatenate(out_tokens, axis=1)

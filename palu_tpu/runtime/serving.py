@@ -243,14 +243,24 @@ class ServingEngine:
     """
 
     def __init__(self, params, cfg, ecfg: EngineConfig, prefer_native: bool = True,
-                 prefill_chunks_per_step: Optional[int] = None):
+                 prefill_chunks_per_step: Optional[int] = None,
+                 sampling_seed: int = 0):
         """prefill_chunks_per_step: None = prefill whole prompts at admission
         (lowest per-request latency when the queue is empty); an int K =
         interleave at most K prefill chunks per decode step, so admitting a
         long prompt never stalls the running lanes' token cadence (chunked
-        prefill, the continuous-batching norm)."""
+        prefill, the continuous-batching norm).
+
+        sampling_seed: base PRNG seed for per-request sampling (submit's
+        `sampling=SamplingParams(...)`); tokens derive from
+        fold_in(fold_in(seed, rid), step) so a request's stream is
+        reproducible regardless of batch composition."""
         assert ecfg.batch >= 1
         self.prefill_chunks_per_step = prefill_chunks_per_step
+        self._sampling: Dict[int, object] = {}  # rid -> SamplingParams
+        self._samplers: Dict[object, object] = {}  # params -> jitted sampler
+        self._sampling_seed = sampling_seed
+        self._sample_key = None  # built lazily (jax.random.key needs backend)
         self._inflight: Dict[int, Dict] = {}  # rid -> partial-prefill state
         self.engine = Engine(params, cfg, ecfg)
         if ecfg.mesh is not None:
@@ -315,7 +325,15 @@ class ServingEngine:
         length = batched_cache["length"].at[lane].set(single_cache["length"][0])
         return {"layers": new_layers, "length": length}
 
-    def submit(self, rid: int, prompt_ids: np.ndarray, max_new_tokens: int) -> bool:
+    def submit(self, rid: int, prompt_ids: np.ndarray, max_new_tokens: int,
+               sampling=None) -> bool:
+        """sampling: optional runtime.sampling.SamplingParams for this
+        request (temperature / top-k / top-p); None or temperature<=0 =
+        greedy (the reference's only mode, run_long_bench.py:63-81)."""
+        if sampling is not None and sampling.temperature > 0.0 and self._nproc > 1:
+            raise ValueError(
+                "per-request sampling is single-process only: multi-process "
+                "decode allgathers argmax tokens (ServingEngine.step)")
         prompt_ids = np.asarray(prompt_ids).reshape(1, -1)
         ok = self.sched.add(rid, prompt_ids.shape[1], max_new_tokens)
         if ok:
@@ -323,7 +341,30 @@ class ServingEngine:
             if not hasattr(self, "_prompts"):
                 self._prompts = {}
             self._prompts[rid] = prompt_ids
+            if sampling is not None and sampling.temperature > 0.0:
+                self._sampling[rid] = sampling
         return ok
+
+    def _pick_token(self, rid: int, logits_row) -> int:
+        """Next token for `rid` from its (V,) logits row: greedy, or the
+        request's sampler with a key folded from (seed, rid, step)."""
+        sp = self._sampling.get(rid)
+        if sp is None:
+            return int(np.asarray(jnp.argmax(logits_row)))
+        import functools
+
+        samp = self._samplers.get(sp)
+        if samp is None:
+            from .sampling import sample as _sample
+
+            samp = jax.jit(functools.partial(_sample, params=sp))
+            self._samplers[sp] = samp
+        if self._sample_key is None:
+            self._sample_key = jax.random.key(self._sampling_seed)
+        step_idx = len(self.outputs[rid])
+        key = jax.random.fold_in(
+            jax.random.fold_in(self._sample_key, rid), step_idx)
+        return int(np.asarray(samp(logits_row[None], key=key))[0])
 
     def _lane_write(self, garr, lane: int, row):
         """Write `row` (np/jnp value of shape garr.shape[1:], or a scalar for
@@ -411,7 +452,7 @@ class ServingEngine:
                 pending.append((rid, lane))
                 continue
             logits, single_cache = self.prefill_engine.prefill_auto(prompt)
-            first_tok = int(np.asarray(jnp.argmax(logits[0, -1])))
+            first_tok = self._pick_token(rid, logits[0, -1])
             self.cache = self._insert(self.cache, single_cache, lane=lane)
             self.tokens[lane, 0] = first_tok
             self.outputs[rid].append(first_tok)
@@ -450,7 +491,10 @@ class ServingEngine:
         for lane, rid in enumerate(active):
             if rid == -1 or rid in self._inflight:
                 continue
-            tok = int(next_toks[lane])
+            if rid in self._sampling:
+                tok = self._pick_token(rid, logits[lane, -1])
+            else:
+                tok = int(next_toks[lane])
             self.outputs[rid].append(tok)
             self.tokens[lane, 0] = tok
             self.sched.on_token(lane, self._is_eos(tok))
@@ -484,7 +528,7 @@ class ServingEngine:
             )
             sc = dict(st["cache"])
             sc["length"] = jnp.full((1,), total, jnp.int32)
-            first_tok = int(np.asarray(jnp.argmax(last[0, -1])))
+            first_tok = self._pick_token(rid, last[0, -1])
             lane = st["lane"]
             self.cache = self._insert(self.cache, sc, lane=lane)
             self.tokens[lane, 0] = first_tok

@@ -52,6 +52,9 @@ DENSE_SEQ = int(os.environ.get("DENSE_SEQ", 4096))
 STEPS = int(os.environ.get("STEPS", 50))
 BLOCK_S = int(os.environ.get("BS", 1024))
 INTERP = bool(int(os.environ.get("INTERP", "0")))
+# step-dissection variants: "" (full), "nokernel", "l0slice" (static layer-0
+# cache slice instead of dynamic_index), "nomlp"
+DISSECT = os.environ.get("DISSECT", "")
 
 H = int(os.environ.get("HIDDEN", 4096))
 NH, HD = int(os.environ.get("HEADS", 32)), 128
@@ -196,19 +199,29 @@ def build_palu(bits):
                 "vs": jax.lax.dynamic_update_slice(
                     cache["vs"], vs2[None, :, :, :, 0], (l, 0, 0, p)),
             }
-            cl = jax.tree.map(
-                lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
-                cache,
-            )
-            lat_out = palu_flash_decode4_quantized(
-                q, wl["b_k"], cl["kc"], cl["ks"],
-                cl["vc"], cl["vs"], pos + 1,
-                qcfg=qc, rk=RK, rv=RV, block_s=BLOCK_S, theta=THETA,
-                interpret=INTERP,
-            )  # (1, NH, RV)
+            if DISSECT == "l0slice":
+                # static layer-0 slice: isolates the dynamic_index cost (a
+                # static leading-dim slice can alias; a dynamic one may
+                # materialize a ~104MB copy per layer)
+                cl = jax.tree.map(lambda a: a[0], cache)
+            else:
+                cl = jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+                    cache,
+                )
+            if DISSECT == "nokernel":
+                lat_out = jnp.zeros((1, NH, RV), jnp.float32) + ks2.sum()
+            else:
+                lat_out = palu_flash_decode4_quantized(
+                    q, wl["b_k"], cl["kc"], cl["ks"],
+                    cl["vc"], cl["vs"], pos + 1,
+                    qcfg=qc, rk=RK, rv=RV, block_s=BLOCK_S, theta=THETA,
+                    interpret=INTERP,
+                )  # (1, NH, RV)
             x = x + mm(lat_out.astype(jnp.bfloat16).reshape(1, NH * RV), wl["wo_fused"])
             h2 = rms(x, wl["ln2"])
-            x = x + mm(jax.nn.silu(mm(h2, wl["gate"])) * mm(h2, wl["up"]), wl["down"])
+            if DISSECT != "nomlp":
+                x = x + mm(jax.nn.silu(mm(h2, wl["gate"])) * mm(h2, wl["up"]), wl["down"])
             return (x, cache), ()
 
         (x, cache), _ = jax.lax.scan(layer, (x, cache), (w, jnp.arange(L)))
