@@ -137,6 +137,7 @@ def _make_kernel4(
     rot_dtype=jnp.float32,
     asym: bool = False,
     return_stats: bool = False,
+    layer_stacked: bool = False,
 ):
     """bits=None builds the fp (bf16 rank-major latents, no scales) variant;
     the cache refs then hold latent rows directly instead of packed codes,
@@ -156,8 +157,11 @@ def _make_kernel4(
             return ref_block.astype(cdt)
         return _unpack_rank_major_t(ref_block, bits, rank, qoff, cdt)
 
-    def kernel(kv_len_ref, a1_ref, a2_ref, b1t_ref, b2t_ref, seg_ref,
-               cos_ref, sin_ref, xk_codes, xk_s, xv_codes, xv_s, *rest):
+    def kernel(kv_len_ref, *rest):
+        if layer_stacked:
+            _li_ref, *rest = rest  # consumed by the BlockSpec index maps
+        (a1_ref, a2_ref, b1t_ref, b2t_ref, seg_ref,
+         cos_ref, sin_ref, xk_codes, xk_s, xv_codes, xv_s, *rest) = rest
         if asym:
             xk_z, xv_z, *rest = rest
         if return_stats:
@@ -338,19 +342,24 @@ def _call4(
     *, bits, rk, rv, block_s, theta, sliding_window, interpret,
     compute_dtype, inv_freq_static, rope_scale, rot_dtype=jnp.float32,
     xk_zero=None, xv_zero=None, pos_offset=None, return_stats=False,
+    layer_idx=None,
 ):
     asym = xk_zero is not None
+    stacked = layer_idx is not None
     b, nh, hd = q.shape
     g, hpg = b_k.shape[0], b_k.shape[1]
-    s_max = xk_rows.shape[3]
+    s_max = xk_rows.shape[-1]
     half = hd // 2
     W = hpg * half
     nrk = packed_nrows(rk, bits) if bits is not None else rk
     nrv = packed_nrows(rv, bits) if bits is not None else rv
-    assert xk_rows.shape[2] == nrk and xv_rows.shape[2] == nrv
-    assert xk_scale.shape == (b, g, s_max) and xv_scale.shape == (b, g, s_max)
+    lb = (xk_rows.shape[0],) if stacked else ()  # leading layer dim
+    assert xk_rows.shape[-2] == nrk and xv_rows.shape[-2] == nrv
+    assert xk_scale.shape == lb + (b, g, s_max), (xk_scale.shape, lb)
+    assert xv_scale.shape == lb + (b, g, s_max)
     if asym:
-        assert xk_zero.shape == (b, g, s_max) and xv_zero.shape == (b, g, s_max)
+        assert xk_zero.shape == lb + (b, g, s_max)
+        assert xv_zero.shape == lb + (b, g, s_max)
     assert s_max % block_s == 0
     nblk = s_max // block_s
 
@@ -393,7 +402,7 @@ def _call4(
         block_s=block_s, g=g, hpg=hpg, half=half,
         sliding_window=sliding_window, bits=bits, rk=rk, rv=rv,
         compute_dtype=compute_dtype, rot_dtype=rot_dtype, asym=asym,
-        return_stats=return_stats,
+        return_stats=return_stats, layer_stacked=stacked,
     )
 
     grid = (b, nblk)
@@ -403,11 +412,35 @@ def _call4(
         compiler_params = None
 
     nhp = max(nh, 8)
+    if stacked:
+        # layer-stacked cache buffers (L, ...): the scalar-prefetched layer
+        # index drives the BlockSpec index maps directly, so a scanned
+        # full-model decode never materializes a per-layer cache slice
+        # (the XLA dynamic_index copy cost ~0.45 ms/layer at 7B/64K,
+        # docs/BENCH.md full-model decomposition)
+        def codes_spec(nr):
+            return pl.BlockSpec(
+                (None, None, g, nr, block_s),
+                lambda bi, si, kvl, li: (li[0], bi, 0, 0, si))
+
+        scale_spec = pl.BlockSpec(
+            (None, None, g, block_s), lambda bi, si, kvl, li: (li[0], bi, 0, si))
+        cache_specs = [codes_spec(nrk), scale_spec, codes_spec(nrv), scale_spec]
+        zero_specs = [scale_spec, scale_spec]
+    else:
+        def codes_spec(nr):
+            return pl.BlockSpec(
+                (None, g, nr, block_s), lambda bi, si, *_: (bi, 0, 0, si))
+
+        scale_spec = pl.BlockSpec(
+            (None, g, block_s), lambda bi, si, *_: (bi, 0, si))
+        cache_specs = [codes_spec(nrk), scale_spec, codes_spec(nrv), scale_spec]
+        zero_specs = [scale_spec, scale_spec]
     out = pl.pallas_call(
         kernel,
         compiler_params=compiler_params,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2 if stacked else 1,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((None, None, W, g), lambda bi, si, *_: (bi, si, 0, 0)),
@@ -417,23 +450,9 @@ def _call4(
                 pl.BlockSpec((2 * hpg, 2 * W), lambda bi, si, *_: (0, 0)),
                 pl.BlockSpec((W, block_s), lambda bi, si, *_: (0, 0)),
                 pl.BlockSpec((W, block_s), lambda bi, si, *_: (0, 0)),
-                pl.BlockSpec((None, g, nrk, block_s),
-                             lambda bi, si, *_: (bi, 0, 0, si)),
-                pl.BlockSpec((None, g, block_s), lambda bi, si, *_: (bi, 0, si)),
-                pl.BlockSpec((None, g, nrv, block_s),
-                             lambda bi, si, *_: (bi, 0, 0, si)),
-                pl.BlockSpec((None, g, block_s), lambda bi, si, *_: (bi, 0, si)),
             ]
-            + (
-                [
-                    pl.BlockSpec((None, g, block_s),
-                                 lambda bi, si, *_: (bi, 0, si)),
-                    pl.BlockSpec((None, g, block_s),
-                                 lambda bi, si, *_: (bi, 0, si)),
-                ]
-                if asym
-                else []
-            ),
+            + cache_specs
+            + (zero_specs if asym else []),
             out_specs=(
                 pl.BlockSpec((None, g, hpg, rv), lambda bi, si, *_: (bi, 0, 0, 0)),
                 pl.BlockSpec((None, nhp, 128), lambda bi, si, *_: (bi, 0, 0)),
@@ -455,6 +474,11 @@ def _call4(
         interpret=interpret,
     )(
         jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,)),
+        *(
+            (jnp.broadcast_to(jnp.asarray(layer_idx, jnp.int32), (1,)),)
+            if stacked
+            else ()
+        ),
         a1, a2, b1t, b2t, seg,
         jnp.asarray(cos_t), jnp.asarray(sin_t),
         xk_rows, xk_scale.astype(jnp.float32),
@@ -501,6 +525,10 @@ def palu_flash_decode4_quantized(
     xv_zero: Optional[jax.Array] = None,
     pos_offset: Optional[jax.Array] = None,  # absolute position of column 0
     return_stats: bool = False,  # emit raw (acc, m, l) for seq-shard combine
+    layer_idx: Optional[jax.Array] = None,  # cache buffers carry a leading
+    # (L, ...) layer dim; the scalar-prefetched index selects the layer's
+    # blocks in the BlockSpec maps (no XLA-level cache slice in scanned
+    # full-model decode)
 ) -> jax.Array:
     """Decode attention over an affine-quantized rank-major latent cache
     -> (B, nh, rv) latent-space output.
@@ -527,6 +555,7 @@ def palu_flash_decode4_quantized(
         rope_scale=rope_scale, rot_dtype=rot_dtype,
         xk_zero=xk_zero, xv_zero=xv_zero,
         pos_offset=pos_offset, return_stats=return_stats,
+        layer_idx=layer_idx,
     )
 
 

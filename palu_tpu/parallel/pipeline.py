@@ -94,6 +94,9 @@ def stage_sharded_forward(
 
         def shard_fn(stage_params, xs_rep):
             sid = jax.lax.axis_index("stage")
+            # shard_map keeps the sharded stage dim at local size 1; strip it
+            # so the scan below iterates the layers-per-stage axis
+            stage_params = jax.tree.map(lambda a: a[0], stage_params)
 
             def run_stage(x):
                 def body(h, layer_p):
@@ -137,3 +140,223 @@ def stage_sharded_forward(
         )(stacked, xs)
 
     return fn
+
+
+def stage_sharded_decode(
+    params: Dict[str, Any],
+    cfg,
+    n_stages: int,
+    mesh: Mesh,
+    *,
+    s_max: int,
+    decode_chunk: int = 128,
+    dtype=jnp.bfloat16,
+):
+    """Pipeline-parallel LATENT-CACHE decode (the 70B-class composition:
+    each stage holds its layers' latent-cache shards locally; only the
+    (B, H) activations ppermute between stages; microbatches pipeline
+    GPipe-style).
+
+    Returns (decode_fn, stack_cache):
+      stack_cache([engine_cache, ...])   -- M per-microbatch Engine caches
+        (unquantized seq-major latents, Engine.init_cache layout) ->
+        (stage-stacked cache pytree, lengths (M,))
+      decode_fn(tokens (M, B, 1), cache, lengths (M,)) ->
+        (logits (M, B, V), new cache)
+        All lanes of a microbatch must share one position (lengths are
+        per-microbatch scalars); the caller appends the sampled token and
+        increments lengths between calls.
+
+    Restrictions (honest scope, docs/COVERAGE.md): uniform ranks, low-rank
+    k/v on every layer, no k/v biases, XLA flash decode per stage (chunked,
+    GSPMD-safe); quantized stage caches would compose the same way via the
+    v4 kernel's pos_offset/return_stats -- not wired here."""
+    from palu_tpu.models import llama as _ll
+    from palu_tpu.ops import attention as att_ops
+    from palu_tpu.runtime.engine import build_decode_b
+    from palu_tpu.parallel.mesh import shard_map_nocheck
+
+    layers = params["layers"]
+    if len(layers) % n_stages:
+        raise ValueError(
+            f"{len(layers)} layers not divisible into {n_stages} equal stages")
+    lps = len(layers) // n_stages
+    nh, hd = cfg.num_attention_heads, cfg.head_dim
+    for layer in layers:
+        attn = layer["attn"]
+        if "VT" not in attn["k_proj"] or "VT" not in attn["v_proj"]:
+            raise ValueError("stage_sharded_decode requires low-rank k/v")
+        if attn["k_proj"].get("b") is not None:
+            raise ValueError("k/v biases not supported in the PP decode demo")
+    rk = layers[0]["attn"]["k_proj"]["U"].shape[1]
+    rv = layers[0]["attn"]["v_proj"]["U"].shape[1]
+
+    def layer_aug(layer):
+        """Per-layer derived operands: b_k for the fused decode, w_fused."""
+        attn = layer["attn"]
+        aug = dict(layer)
+        aug = {
+            "input_norm": layer["input_norm"],
+            "post_norm": layer["post_norm"],
+            "mlp": layer["mlp"],
+            "attn": {
+                "q_proj": attn["q_proj"],
+                "k_proj": {"VT": attn["k_proj"]["VT"], "U": attn["k_proj"]["U"]},
+                "v_proj": {"VT": attn["v_proj"]["VT"], "U": attn["v_proj"]["U"]},
+            },
+            "b_k": build_decode_b(
+                np.asarray(attn["k_proj"]["U"], np.float32), cfg).astype(dtype),
+            "w_fused": (
+                attn["o_proj"]["w_fused"]
+                if "w_fused" in attn["o_proj"]
+                else _ll.fuse_o_proj(
+                    np.asarray(attn["o_proj"]["w"], np.float32),
+                    np.asarray(attn["v_proj"]["U"], np.float32), cfg,
+                ).astype(dtype)
+            ),
+        }
+        return aug
+
+    stages = split_stages([layer_aug(l) for l in layers], n_stages)
+    stacked = _stack_trees([_stack_trees(s) for s in stages])
+    stacked = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("stage"))), stacked)
+    other = {k: v for k, v in params.items() if k != "layers"}
+
+    def stack_cache(engine_caches):
+        """M Engine caches (each {"layers": [entry..], "length": (B,)}) ->
+        stage-stacked leaves (n_stages, lps, M, B, G, s_max, r)."""
+        m = len(engine_caches)
+        per_layer = []
+        for li in range(len(layers)):
+            mb = [engine_caches[j]["layers"][li] for j in range(m)]
+            per_layer.append({
+                side: {"lat": jnp.stack([e[side]["lat"] for e in mb])}
+                for side in ("k", "v")
+            })
+        st = split_stages(per_layer, n_stages)
+        cache = _stack_trees([_stack_trees(s) for s in st])
+        cache = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P("stage"))), cache)
+        lengths = np.asarray(
+            [int(np.asarray(c["length"])[0]) for c in engine_caches], np.int32)
+        return cache, jnp.asarray(lengths)
+
+    num_chunks = s_max // decode_chunk
+    assert num_chunks * decode_chunk == s_max
+
+    def _layer_step(x, lp, kbuf, vbuf, pos):
+        """x (B, H); kbuf/vbuf (B, G, s_max, r); pos scalar. Returns
+        (x', kbuf', vbuf') -- the Engine XLA decode-attention math."""
+        b = x.shape[0]
+        h = _ll.rms_norm(x[:, None, :], lp["input_norm"], cfg.rms_norm_eps)
+        q = h.reshape(b, -1) @ lp["attn"]["q_proj"]["w"]
+        if lp["attn"]["q_proj"].get("b") is not None:
+            q = q + lp["attn"]["q_proj"]["b"]
+        q = q.reshape(b, 1, nh, hd)
+        positions = jnp.broadcast_to(pos[None, None], (b, 1))
+        cos, sin = _ll.rope_cos_sin_for(cfg, positions)
+        q = _ll.apply_rope(q.astype(jnp.float32), cos, sin).astype(dtype)
+        lat_k = _ll.project_kv(h, lp["attn"]["k_proj"]).transpose(0, 2, 1, 3)
+        lat_v = _ll.project_kv(h, lp["attn"]["v_proj"]).transpose(0, 2, 1, 3)
+        kbuf = jax.lax.dynamic_update_slice(kbuf, lat_k.astype(dtype), (0, 0, pos, 0))
+        vbuf = jax.lax.dynamic_update_slice(vbuf, lat_v.astype(dtype), (0, 0, pos, 0))
+        kv_len = jnp.broadcast_to(pos + 1, (b,))
+
+        def read(buf):
+            return lambda i: jax.lax.dynamic_slice_in_dim(
+                buf, i * decode_chunk, decode_chunk, 2)
+
+        lat_out = att_ops.flash_decode_latent(
+            q.reshape(b, nh, hd), read(kbuf), read(vbuf), lp["b_k"],
+            num_chunks, decode_chunk, kv_len, hd, cfg.rope_theta, rv,
+            cfg.sliding_window,
+        )  # (B, nh, rv)
+        x = x + lat_out.astype(dtype).reshape(b, nh * rv) @ lp["w_fused"]
+        h2 = _ll.rms_norm(x[:, None, :], lp["post_norm"], cfg.rms_norm_eps)
+        x = x + _ll.mlp_forward(h2, lp["mlp"]).reshape(b, -1)
+        return x, kbuf, vbuf
+
+    def decode_fn(tokens, cache, lengths):
+        m = tokens.shape[0]
+
+        def shard_fn(stage_params, stage_cache, toks, lens):
+            sid = jax.lax.axis_index("stage")
+            # strip the local-size-1 stage dim shard_map keeps on sharded args
+            stage_params = jax.tree.map(lambda a: a[0], stage_params)
+            stage_cache = jax.tree.map(lambda a: a[0], stage_cache)
+            n_ticks = m + n_stages - 1
+            b = toks.shape[1]
+            state = jnp.zeros((b, cfg.hidden_size), dtype)
+            outs = []
+            for t in range(n_ticks):
+                mbi = jnp.clip(t - sid, 0, m - 1)
+                active = jnp.logical_and(sid <= t, t - sid < m)
+                tok_mb = jax.lax.dynamic_index_in_dim(toks, mbi, 0, False)
+                entering = other["embed"][tok_mb[:, 0]].astype(dtype)
+                x = jnp.where(sid == 0, entering, state)
+                pos = jax.lax.dynamic_index_in_dim(lens, mbi, 0, False)
+
+                def body(carry, inp):
+                    x = carry
+                    lp, li = inp
+                    kbuf = jax.lax.dynamic_index_in_dim(
+                        stage_cache["k"]["lat"], li, 0, False)
+                    kbuf = jax.lax.dynamic_index_in_dim(kbuf, mbi, 0, False)
+                    vbuf = jax.lax.dynamic_index_in_dim(
+                        stage_cache["v"]["lat"], li, 0, False)
+                    vbuf = jax.lax.dynamic_index_in_dim(vbuf, mbi, 0, False)
+                    x2, kb2, vb2 = _layer_step(x, lp, kbuf, vbuf, pos)
+                    # masked write-back: inactive ticks re-write the old
+                    # column (values from a garbage x; the slot is rewritten
+                    # by the real tick for this mb)
+                    kcol = jax.lax.dynamic_slice_in_dim(kbuf, pos, 1, 2)
+                    vcol = jax.lax.dynamic_slice_in_dim(vbuf, pos, 1, 2)
+                    kn = jax.lax.dynamic_slice_in_dim(kb2, pos, 1, 2)
+                    vn = jax.lax.dynamic_slice_in_dim(vb2, pos, 1, 2)
+                    writes = (
+                        jnp.where(active, kn, kcol), jnp.where(active, vn, vcol))
+                    return x2, (li, writes)
+
+                xs_l = (stage_params, jnp.arange(lps))
+                y, (lis, wr) = jax.lax.scan(body, x, xs_l)
+                # apply the collected per-layer column writes at (li, mbi)
+                kw, vw = wr  # (lps, B, G, 1, r)
+                new_cache = {}
+                for side, w in (("k", kw), ("v", vw)):
+                    buf = stage_cache[side]["lat"]
+
+                    def wbody(bf, inp):
+                        li, col = inp
+                        return jax.lax.dynamic_update_slice(
+                            bf, col[None, None],
+                            (li, mbi, 0, 0, pos, 0)), None
+
+                    buf, _ = jax.lax.scan(wbody, buf, (lis, w))
+                    new_cache[side] = {"lat": buf}
+                stage_cache = new_cache
+                y = jnp.where(active, y, state)
+                state = jax.lax.ppermute(
+                    y, "stage",
+                    [(i, (i + 1) % n_stages) for i in range(n_stages)])
+                if t >= n_stages - 1:
+                    h = _ll.rms_norm(
+                        y[:, None, :], other["final_norm"], cfg.rms_norm_eps)
+                    lm = (other["lm_head"] if other.get("lm_head") is not None
+                          else other["embed"].T)
+                    outs.append((h.reshape(b, -1) @ lm))
+            out = jnp.stack(outs)  # (M, B, V), valid on the last stage
+            last = n_stages - 1
+            out = jax.lax.psum(
+                jnp.where(sid == last, out, jnp.zeros_like(out)), "stage")
+            # restore the local stage dim for the P("stage") out_spec
+            return out, jax.tree.map(lambda a: a[None], stage_cache)
+
+        return shard_map_nocheck(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P("stage"), P("stage"), P(), P()),
+            out_specs=(P(), P("stage")),
+        )(stacked, cache, tokens, lengths)
+
+    return decode_fn, stack_cache

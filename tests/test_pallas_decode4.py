@@ -165,3 +165,40 @@ def test_v4_rope_scaling_static():
     ref = np.asarray(_xla_reference(
         q, b_k, x_k_dq, x_v_dq, kvl, inv_freq=inv_freq, rope_scale=scale))
     assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
+
+
+@pytest.mark.parametrize("bits", [4, 3])
+def test_v4_layer_stacked_matches_per_layer(bits):
+    """layer_idx + (L, ...)-stacked cache buffers: the scalar-prefetched
+    layer index must select exactly the per-layer slices (the scanned
+    full-model decode path, no XLA-level cache slice)."""
+    import palu_tpu.core.quant as qm
+    from palu_tpu.core.quant import QuantConfig
+
+    L = 3
+    qc = QuantConfig(bits=bits, group_size=0, sym=True)
+    per_layer = []
+    stacked = {"kc": [], "ks": [], "vc": [], "vs": []}
+    for li in range(L):
+        q, b_k, x_k, x_v, kvl = _setup(kv_len=200, seed=20 + li)
+        kc, ks, _ = qm.quantize_affine(x_k, qc)
+        vc, vs, _ = qm.quantize_affine(x_v, qc)
+        args = (qm.pack_codes_t(kc, bits), ks[..., 0],
+                qm.pack_codes_t(vc, bits), vs[..., 0])
+        per_layer.append((q, b_k, args, kvl))
+        for k, v in zip(("kc", "ks", "vc", "vs"), args):
+            stacked[k].append(v)
+    st = {k: jnp.stack(v) for k, v in stacked.items()}
+
+    for li in range(L):
+        q, b_k, args, kvl = per_layer[li]
+        want = palu_flash_decode4_quantized(
+            q, b_k, *args, kvl, qcfg=qc, rk=32, rv=64, block_s=64,
+            interpret=True, compute_dtype=jnp.float32)
+        got = palu_flash_decode4_quantized(
+            q, b_k, st["kc"], st["ks"], st["vc"], st["vs"], kvl,
+            qcfg=qc, rk=32, rv=64, block_s=64, interpret=True,
+            compute_dtype=jnp.float32,
+            layer_idx=jnp.asarray(li, jnp.int32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)

@@ -52,8 +52,8 @@ DENSE_SEQ = int(os.environ.get("DENSE_SEQ", 4096))
 STEPS = int(os.environ.get("STEPS", 50))
 BLOCK_S = int(os.environ.get("BS", 1024))
 INTERP = bool(int(os.environ.get("INTERP", "0")))
-# step-dissection variants: "" (full), "nokernel", "l0slice" (static layer-0
-# cache slice instead of dynamic_index), "nomlp"
+# step-dissection variants: "" (full, layer-stacked kernel indexing),
+# "slice" (old XLA dynamic_index per-layer cache slice), "nokernel", "nomlp"
 DISSECT = os.environ.get("DISSECT", "")
 
 H = int(os.environ.get("HIDDEN", 4096))
@@ -199,24 +199,29 @@ def build_palu(bits):
                 "vs": jax.lax.dynamic_update_slice(
                     cache["vs"], vs2[None, :, :, :, 0], (l, 0, 0, p)),
             }
-            if DISSECT == "l0slice":
-                # static layer-0 slice: isolates the dynamic_index cost (a
-                # static leading-dim slice can alias; a dynamic one may
-                # materialize a ~104MB copy per layer)
-                cl = jax.tree.map(lambda a: a[0], cache)
-            else:
+            if DISSECT == "slice":
+                # old path: XLA dynamic_index materializes a per-layer cache
+                # slice (~104MB copy) before the kernel reads it
                 cl = jax.tree.map(
                     lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
                     cache,
                 )
-            if DISSECT == "nokernel":
-                lat_out = jnp.zeros((1, NH, RV), jnp.float32) + ks2.sum()
-            else:
                 lat_out = palu_flash_decode4_quantized(
                     q, wl["b_k"], cl["kc"], cl["ks"],
                     cl["vc"], cl["vs"], pos + 1,
                     qcfg=qc, rk=RK, rv=RV, block_s=BLOCK_S, theta=THETA,
                     interpret=INTERP,
+                )  # (1, NH, RV)
+            elif DISSECT == "nokernel":
+                lat_out = jnp.zeros((1, NH, RV), jnp.float32) + ks2.sum()
+            else:
+                # layer-stacked cache: the kernel's scalar-prefetched layer
+                # index selects blocks directly from the (L, ...) buffers
+                lat_out = palu_flash_decode4_quantized(
+                    q, wl["b_k"], cache["kc"], cache["ks"],
+                    cache["vc"], cache["vs"], pos + 1,
+                    qcfg=qc, rk=RK, rv=RV, block_s=BLOCK_S, theta=THETA,
+                    interpret=INTERP, layer_idx=l,
                 )  # (1, NH, RV)
             x = x + mm(lat_out.astype(jnp.bfloat16).reshape(1, NH * RV), wl["wo_fused"])
             h2 = rms(x, wl["ln2"])
