@@ -69,7 +69,7 @@ class EngineConfig:
     weight_bits: int = 16
 
 
-def build_decode_b(u_k: np.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+def build_decode_b(u_k: np.ndarray, cfg: ModelConfig) -> np.ndarray:
     """Group the per-kv-head U_k into per-q-head reconstruction matrices
     B: (G, heads_per_group, rk, hd) (reference builds (num_heads, rank, hd),
     kernel/palu_attention.py:107-114; ours keeps the group axis explicit and
@@ -85,7 +85,9 @@ def build_decode_b(u_k: np.ndarray, cfg: ModelConfig) -> jnp.ndarray:
         for hj in range(hpg):
             j_local = hj // rep  # kv head within group
             b[gi, hj] = u_k[gi, :, j_local * hd : (j_local + 1) * hd]
-    return jnp.asarray(b)
+    # returns HOST numpy: _b_v builds lazily inside an active prefill trace,
+    # and a jnp.asarray there would cache a tracer across traces
+    return b
 
 
 class Engine:
@@ -176,12 +178,10 @@ class Engine:
                             kb[gi, hj] = bk[gi, j_local * hd : (j_local + 1) * hd]
                     entry["k_bias"] = jnp.asarray(kb, self.ecfg.dtype)
             if "VT" in attn["v_proj"]:
-                # per-head V reconstruction matrices for the chunked-prefill
-                # fast path (prefill attends at head_dim, not rv; see
-                # flash_prefill_latent's value-path note)
-                entry["b_v"] = build_decode_b(
-                    np.asarray(attn["v_proj"]["U"], dtype=np.float32), self.cfg
-                ).astype(self.ecfg.dtype)
+                # b_v (per-head V reconstruction for the XLA chunked-prefill
+                # fallback) is built LAZILY at first prefill trace (_b_v):
+                # at 7B scale it is ~200 MB of HBM a decode-only engine
+                # never reads (round-2 advisor finding)
                 if attn["v_proj"].get("b") is not None:
                     bv_ = np.asarray(attn["v_proj"]["b"], np.float32)  # (G, gd)
                     g = cfg.num_kv_groups
@@ -212,11 +212,33 @@ class Engine:
                         o_w["ws"], np.float32
                     )
                 else:
-                    o_w = np.asarray(o_w, np.float32)
+                    if self.ecfg.weight_bits == 8:
+                        # derive corr from the SAME dequantized codes a
+                        # rebuild from quantized params sees, so first-build
+                        # and rebuilt engines compute identical logits
+                        qw = wquant.quantize_weight(o_w)
+                        o_w = np.asarray(qw["wq8"], np.float32) * np.asarray(
+                            qw["ws"], np.float32
+                        )
+                    else:
+                        o_w = np.asarray(o_w, np.float32)
                 corr = per_qhead.reshape(-1) @ o_w  # (H,)
                 entry["o_bias_corr"] = jnp.asarray(corr, self.ecfg.dtype)
             derived.append(entry)
         return derived
+
+    def _b_v(self, i: int):
+        """Per-head V reconstruction matrices for the XLA chunked-prefill
+        fallback, built on first prefill TRACE and cached (prefill attends
+        at head_dim, not rv; flash_prefill_latent's value-path note).
+        Decode-only engines never pay its HBM (~6.3 MB/layer at 7B)."""
+        entry = self.derived[i]
+        if "b_v" not in entry:
+            attn = self.params["layers"][i]["attn"]
+            entry["b_v"] = build_decode_b(
+                np.asarray(attn["v_proj"]["U"], dtype=np.float32), self.cfg
+            ).astype(self.ecfg.dtype)
+        return entry["b_v"]
 
     def init_cache(self):
         return cache_lib.init_cache(
@@ -326,7 +348,9 @@ class Engine:
         num_chunks = ecfg.s_max // chunk
 
         new_layers = []
-        for p_layer, entry, der in zip(params["layers"], cache["layers"], self.derived):
+        for i, (p_layer, entry, der) in enumerate(
+            zip(params["layers"], cache["layers"], self.derived)
+        ):
             attn = p_layer["attn"]
             if "VT" not in attn["k_proj"] or "VT" not in attn["v_proj"]:
                 raise NotImplementedError("chunked prefill requires low-rank k/v")
@@ -372,7 +396,7 @@ class Engine:
                     num_chunks, chunk, offset, hd, cfg.rope_theta, rv,
                     cfg.sliding_window, k_bias=der.get("k_bias"),
                     inv_freq=self._inv_freq, rope_scale=self._rope_scale,
-                    b_v=der["b_v"], v_bias=der.get("v_bias"),
+                    b_v=self._b_v(i), v_bias=der.get("v_bias"),
                 )  # (B, s, nh, hd) -- V reconstructed, o_proj unfused
                 attn_out = out.astype(ecfg.dtype).reshape(b, s, nh * hd)
             x = x + wdot(attn_out, attn["o_proj"]["w"])
