@@ -226,12 +226,16 @@ def packed_nbytes(n: int, bits: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def quantize_affine(x: jax.Array, cfg: QuantConfig):
-    """Per-row (group_size == 0) quantization in affine form:
-    x ~= scale * code + zero with unsigned codes in [0, 2^bits).
-    Returns (codes int8, scales (rows,), zeros (rows,)) -- sym and asym
-    collapse into one dequant formula (zero = (q_min - base) * scale)."""
-    assert cfg.enabled and cfg.group_size == 0
-    g = _group(x, 0)
+    """Quantization in affine form: x ~= scale * code + zero with unsigned
+    codes in [0, 2^bits); sym and asym collapse into one dequant formula
+    (zero = (q_min - base) * scale).
+
+    group_size == 0: one scale per row -- returns (codes, scales (...,),
+    zeros (...,)).  group_size > 0 (the reference's --lt_group_size,
+    utils.py:105): one scale per contiguous last-dim chunk -- returns
+    scales/zeros shaped (..., n // group_size)."""
+    assert cfg.enabled
+    g = _group(x, cfg.group_size)
     scales, base, q_min, q_max = _scales_base(g, cfg.bits, cfg.sym, cfg.clip_ratio)
     gf = g.astype(jnp.float32)
     q = jnp.clip(jnp.round(gf / scales) + base, q_min, q_max)

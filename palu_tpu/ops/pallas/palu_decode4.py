@@ -138,6 +138,9 @@ def _make_kernel4(
     asym: bool = False,
     return_stats: bool = False,
     layer_stacked: bool = False,
+    n_sc_k: int = 1,
+    n_sc_v: int = 1,
+    chunked: bool = False,
 ):
     """bits=None builds the fp (bf16 rank-major latents, no scales) variant;
     the cache refs then hold latent rows directly instead of packed codes,
@@ -146,7 +149,16 @@ def _make_kernel4(
     (module docstring 4b); codes are then used unsigned (qoff = 0).
     return_stats=True skips the final acc/l division and emits the raw
     flash stats (m, l, acc) -- the flash-decoding combine for a
-    sequence-sharded cache merges per-shard stats outside the kernel."""
+    sequence-sharded cache merges per-shard stats outside the kernel.
+
+    n_sc_k/n_sc_v > 1 selects the PER-CHUNK scale variant (the reference's
+    --lt_group_size > 0, quant.py:14-24): scale/zero refs are
+    (g, n_sc, BS) with one row per contiguous rank chunk, and the kernel
+    dequantizes codes in VMEM before the reconstruct/value dots (a
+    sub-row-granular scale cannot fold past the dots the way the per-row
+    scale does).  Costs one extra multiply (+add if asym) per cache value;
+    the asym zero needs no folded correction because it enters the
+    materialized operand directly."""
     cdt = compute_dtype
     nh = g * hpg
     qoff = 2 ** (bits - 1) if (bits is not None and not asym) else 0
@@ -203,13 +215,31 @@ def _make_kernel4(
             if sliding_window is not None:
                 valid = jnp.logical_and(valid, pos > (kv_len - 1) - sliding_window)
 
-            ks_rows = xk_s[...]  # (g, BS) per-token K scales
+            # per-row: (g, BS) per-token scales; chunked: (g, n_sc, BS)
+            # per-(token, rank-chunk) scales
+            ks_rows = xk_s[...]
             vs_rows = xv_s[...]
             if asym:
-                kz_rows = xk_z[...]  # (g, BS) per-token zero-points (value units)
+                kz_rows = xk_z[...]  # zero-points (value units), same shape
                 vz_rows = xv_z[...]
-                cosb = cos_ref[0:half, :]  # untiled base tables, f32
-                sinb = sin_ref[0:half, :]
+                if not chunked:
+                    cosb = cos_ref[0:half, :]  # untiled base tables, f32
+                    sinb = sin_ref[0:half, :]
+
+            def dequant_rows(codes, scales, zeros, rank):
+                """Chunked in-VMEM dequant: codes (rank, BS) -> values (rank,
+                BS) in cdt; scales/zeros are (n_sc, BS) with one row per
+                contiguous rank chunk."""
+                n_sc = scales.shape[0]
+                gsz = rank // n_sc
+                blocks = []
+                for c in range(n_sc):
+                    blk = codes[c * gsz : (c + 1) * gsz, :].astype(
+                        jnp.float32) * scales[c : c + 1, :]
+                    if zeros is not None:
+                        blk = blk + zeros[c : c + 1, :]
+                    blocks.append(blk)
+                return jnp.concatenate(blocks, axis=0).astype(cdt)
 
             def k_path(gi):
                 """t (W, BS) in compute dtype: roped-K logit contributions per
@@ -232,6 +262,10 @@ def _make_kernel4(
                 bq1 = bq1f.astype(cdt)
                 bq2 = bq2f.astype(cdt)
                 ck = _rows(xk_codes[gi], rk)
+                if chunked:
+                    ck = dequant_rows(
+                        ck, ks_rows[gi],
+                        kz_rows[gi] if asym else None, rk)
                 # Mosaic requires 32-bit matmul accumulators; rot_dtype only
                 # affects the elementwise rotation (and the table residency)
                 u = jax.lax.dot_general(
@@ -241,7 +275,9 @@ def _make_kernel4(
                     bq2, ck, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(rot_dtype)
                 t = (u * cos + v * sin).astype(cdt)
-                if not asym:
+                if not asym or chunked:
+                    # chunked asym needs no folded correction: the zero
+                    # entered the dequantized operand before the dots
                     return t, None
                 # zero-term correction (docstring 4b): the per-token zero z adds
                 # z * (seg @ (cos*rowsum(bq1) + sin*rowsum(bq2))) to the logits;
@@ -265,7 +301,9 @@ def _make_kernel4(
                     t2 = jnp.concatenate([t_a, t_b], axis=0)
                     lg2 = jnp.dot(seg_ref[...].astype(cdt), t2,
                                   preferred_element_type=jnp.float32)  # (2hpg, BS)
-                    if bits is None:
+                    if bits is None or chunked:
+                        # fp latents / chunked pre-dot dequant: values are
+                        # already in latent units, nothing to fold back
                         parts.append(lg2)
                     else:
                         sc = jnp.concatenate(
@@ -285,7 +323,7 @@ def _make_kernel4(
                     t_g, c_g = k_path(gi)
                     lg = jnp.dot(seg_ref[0:hpg, 0 : hpg * half].astype(cdt),
                                  t_g, preferred_element_type=jnp.float32)
-                    if bits is not None:
+                    if bits is not None and not chunked:
                         lg = lg * ks_rows[gi : gi + 1, :]
                         if asym:
                             lg = lg + c_g * kz_rows[gi : gi + 1, :]
@@ -305,15 +343,19 @@ def _make_kernel4(
             # ---- V path: (hpg, BS) @ (rv, BS)^T, contraction over seq lanes ----
             for gi in range(g):
                 cv = _rows(xv_codes[gi], rv)
+                if chunked:
+                    cv = dequant_rows(
+                        cv, vs_rows[gi],
+                        vz_rows[gi] if asym else None, rv)
                 p_g = p[gi * hpg : (gi + 1) * hpg, :]
-                if bits is None:
+                if bits is None or chunked:
                     ps = p_g.astype(cdt)
                 else:
                     ps = (p_g * vs_rows[gi : gi + 1, :]).astype(cdt)
                 pv = jax.lax.dot_general(
                     ps, cv, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (hpg, rv)
-                if asym:
+                if asym and not chunked:
                     # zero-term: sum_s p[h,s] * z[s], broadcast over rv
                     pv = pv + jnp.sum(p_g * vz_rows[gi : gi + 1, :],
                                       axis=1, keepdims=True)
@@ -342,7 +384,7 @@ def _call4(
     *, bits, rk, rv, block_s, theta, sliding_window, interpret,
     compute_dtype, inv_freq_static, rope_scale, rot_dtype=jnp.float32,
     xk_zero=None, xv_zero=None, pos_offset=None, return_stats=False,
-    layer_idx=None,
+    layer_idx=None, group_chunk=None,
 ):
     asym = xk_zero is not None
     stacked = layer_idx is not None
@@ -355,11 +397,21 @@ def _call4(
     nrv = packed_nrows(rv, bits) if bits is not None else rv
     lb = (xk_rows.shape[0],) if stacked else ()  # leading layer dim
     assert xk_rows.shape[-2] == nrk and xv_rows.shape[-2] == nrv
-    assert xk_scale.shape == lb + (b, g, s_max), (xk_scale.shape, lb)
-    assert xv_scale.shape == lb + (b, g, s_max)
-    if asym:
-        assert xk_zero.shape == lb + (b, g, s_max)
-        assert xv_zero.shape == lb + (b, g, s_max)
+    if group_chunk:
+        # per-chunk scales: one scale/zero ROW per contiguous rank chunk
+        nsk, nsv = rk // group_chunk, rv // group_chunk
+        assert xk_scale.shape == lb + (b, g, nsk, s_max), (xk_scale.shape, lb)
+        assert xv_scale.shape == lb + (b, g, nsv, s_max)
+        if asym:
+            assert xk_zero.shape == lb + (b, g, nsk, s_max)
+            assert xv_zero.shape == lb + (b, g, nsv, s_max)
+    else:
+        nsk = nsv = 1
+        assert xk_scale.shape == lb + (b, g, s_max), (xk_scale.shape, lb)
+        assert xv_scale.shape == lb + (b, g, s_max)
+        if asym:
+            assert xk_zero.shape == lb + (b, g, s_max)
+            assert xv_zero.shape == lb + (b, g, s_max)
     assert s_max % block_s == 0
     nblk = s_max // block_s
 
@@ -403,6 +455,7 @@ def _call4(
         sliding_window=sliding_window, bits=bits, rk=rk, rv=rv,
         compute_dtype=compute_dtype, rot_dtype=rot_dtype, asym=asym,
         return_stats=return_stats, layer_stacked=stacked,
+        n_sc_k=nsk, n_sc_v=nsv, chunked=group_chunk is not None,
     )
 
     grid = (b, nblk)
@@ -423,19 +476,29 @@ def _call4(
                 (None, None, g, nr, block_s),
                 lambda bi, si, kvl, li: (li[0], bi, 0, 0, si))
 
-        scale_spec = pl.BlockSpec(
-            (None, None, g, block_s), lambda bi, si, kvl, li: (li[0], bi, 0, si))
-        cache_specs = [codes_spec(nrk), scale_spec, codes_spec(nrv), scale_spec]
-        zero_specs = [scale_spec, scale_spec]
+        def scale_spec(n_sc):
+            if group_chunk:
+                return pl.BlockSpec(
+                    (None, None, g, n_sc, block_s),
+                    lambda bi, si, kvl, li: (li[0], bi, 0, 0, si))
+            return pl.BlockSpec(
+                (None, None, g, block_s),
+                lambda bi, si, kvl, li: (li[0], bi, 0, si))
     else:
         def codes_spec(nr):
             return pl.BlockSpec(
                 (None, g, nr, block_s), lambda bi, si, *_: (bi, 0, 0, si))
 
-        scale_spec = pl.BlockSpec(
-            (None, g, block_s), lambda bi, si, *_: (bi, 0, si))
-        cache_specs = [codes_spec(nrk), scale_spec, codes_spec(nrv), scale_spec]
-        zero_specs = [scale_spec, scale_spec]
+        def scale_spec(n_sc):
+            if group_chunk:
+                return pl.BlockSpec(
+                    (None, g, n_sc, block_s), lambda bi, si, *_: (bi, 0, 0, si))
+            return pl.BlockSpec(
+                (None, g, block_s), lambda bi, si, *_: (bi, 0, si))
+
+    cache_specs = [codes_spec(nrk), scale_spec(nsk),
+                   codes_spec(nrv), scale_spec(nsv)]
+    zero_specs = [scale_spec(nsk), scale_spec(nsv)]
     out = pl.pallas_call(
         kernel,
         compiler_params=compiler_params,
@@ -539,16 +602,23 @@ def palu_flash_decode4_quantized(
     configs (the reference's canonical accuracy protocol,
     /root/reference/utils.py:106, README.md:78-86) pass per-token
     xk_zero/xv_zero rows and the kernel folds the whole zero term past
-    the big dots (module docstring 4b).  Differentially tested against
-    the XLA dequant reference in tests/test_pallas_decode4.py.
+    the big dots (module docstring 4b).  Per-chunk configs
+    (qcfg.group_size > 0, the reference's --lt_group_size) pass scales
+    and zeros as (B, G, rank // group_size, S_max) ROW STACKS and the
+    kernel dequantizes codes in VMEM before its dots.  Differentially
+    tested against the XLA dequant reference in
+    tests/test_pallas_decode4.py.
     """
-    assert qcfg.enabled and qcfg.group_size == 0
+    assert qcfg.enabled
+    if qcfg.group_size > 0:
+        assert rk % qcfg.group_size == 0 and rv % qcfg.group_size == 0
     if qcfg.sym:
         assert xk_zero is None and xv_zero is None
     else:
         assert xk_zero is not None and xv_zero is not None
     return _call4(
         q, b_k, xk_codes, xk_scale, xv_codes, xv_scale, kv_len,
+        group_chunk=qcfg.group_size or None,
         bits=qcfg.bits, rk=rk, rv=rv, block_s=block_s, theta=theta,
         sliding_window=sliding_window, interpret=interpret,
         compute_dtype=compute_dtype, inv_freq_static=inv_freq_static,

@@ -42,12 +42,28 @@ __all__ = [
 
 
 def rank_major(qcfg: Optional[quant.QuantConfig]) -> bool:
-    """True when the cache uses the rank-major packed layout: per-row
-    quantization feeds the v4 transposed kernel (sym: no zero row; asym: an
+    """True when the cache uses the rank-major packed layout with PER-ROW
+    scales: feeds the v4 transposed kernel (sym: no zero row; asym: an
     extra per-token zero row consumed by the kernel's folded zero-point
-    corrections). Per-chunk (group_size > 0) quantization keeps the
-    seq-major layout + v1 kernel."""
+    corrections)."""
     return qcfg is not None and qcfg.enabled and qcfg.group_size == 0
+
+
+def rank_major_chunked(qcfg: Optional[quant.QuantConfig], rank: int) -> bool:
+    """True when a per-chunk (group_size > 0, the reference's
+    --lt_group_size) cache can use the rank-major layout: scale/zero rows
+    are (rank // group_size, S) and the v4 kernel dequantizes in-VMEM
+    before its reconstruct dots (scales cannot fold past the dots at
+    sub-row granularity). Requires the chunk to divide the rank and to be
+    a sublane multiple; other shapes keep the seq-major layout + XLA
+    fallback."""
+    return (
+        qcfg is not None
+        and qcfg.enabled
+        and qcfg.group_size > 0
+        and qcfg.group_size % 8 == 0
+        and rank % qcfg.group_size == 0
+    )
 
 
 def _seq_axis(key: str, ndim: int) -> int:
@@ -69,14 +85,15 @@ def _layer_buffers(
         if rank_major_fp:
             return {"lat_t": jnp.zeros((batch, groups, rank, s_max), dtype)}
         return {"lat": jnp.zeros((batch, groups, s_max, rank), dtype)}
-    if rank_major(qcfg):
+    if rank_major(qcfg) or rank_major_chunked(qcfg, rank):
         nrows = quant.packed_nrows(rank, qcfg.bits)
+        n_sc = rank // qcfg.group_size if qcfg.group_size > 0 else 1
         bufs = {
             "codes_t": jnp.zeros((batch, groups, nrows, s_max), jnp.uint8),
-            "scale_t": jnp.zeros((batch, groups, 1, s_max), jnp.float32),
+            "scale_t": jnp.zeros((batch, groups, n_sc, s_max), jnp.float32),
         }
         if not qcfg.sym:
-            bufs["zero_t"] = jnp.zeros((batch, groups, 1, s_max), jnp.float32)
+            bufs["zero_t"] = jnp.zeros((batch, groups, n_sc, s_max), jnp.float32)
         return bufs
     nbytes = quant.packed_nbytes(rank, qcfg.bits)
     n_scale = rank // qcfg.group_size if qcfg.group_size > 0 else 1
@@ -137,9 +154,10 @@ def _encode(latents: jax.Array, qcfg: Optional[quant.QuantConfig], dtype,
         if rank_major_fp:
             return {"lat_t": jnp.swapaxes(latents.astype(dtype), -1, -2)}
         return {"lat": latents.astype(dtype)}
-    if rank_major(qcfg):
+    if rank_major(qcfg) or rank_major_chunked(qcfg, latents.shape[-1]):
         codes, scales, zeros = quant.quantize_affine(latents, qcfg)
-        # scales (B, G, S, 1) -> (B, G, 1, S): sequence on the last axis
+        # scales (B, G, S, n_sc) -> (B, G, n_sc, S): sequence on the last
+        # axis (n_sc = 1 per-row, rank//group_size per-chunk)
         upd = {
             "codes_t": quant.pack_codes_t(codes, qcfg.bits),
             "scale_t": jnp.swapaxes(scales.astype(jnp.float32), -1, -2),
@@ -170,11 +188,17 @@ def decode_latents(
         return buf["lat"].astype(dtype)
     if "codes_t" in buf:
         codes = quant.unpack_codes_t(buf["codes_t"], qcfg.bits, rank)
+
+        def rows(a):  # (B, G, n_sc, S) -> (B, G, rank, S)
+            n_sc = a.shape[-2]
+            return a if n_sc == 1 else jnp.repeat(a, rank // n_sc, axis=-2)
+
         if qcfg.sym:
             qoff = 2 ** (qcfg.bits - 1)
-            lat = (codes.astype(jnp.float32) - qoff) * buf["scale_t"]
+            lat = (codes.astype(jnp.float32) - qoff) * rows(buf["scale_t"])
         else:  # affine: x = scale * code + zero
-            lat = codes.astype(jnp.float32) * buf["scale_t"] + buf["zero_t"]
+            lat = codes.astype(jnp.float32) * rows(buf["scale_t"]) + rows(
+                buf["zero_t"])
         return jnp.swapaxes(lat, -1, -2).astype(dtype)
     codes = quant.unpack_codes(buf["codes"], qcfg.bits, rank)
     return quant.dequantize(codes, buf["scales"], buf["base"], qcfg, dtype=dtype)

@@ -128,6 +128,16 @@ class Engine:
                 "rank_major_fp + seq_axis requires use_pallas: the rank-major "
                 "seq-sharded combine runs the v4 kernel per shard"
             )
+        if (
+            ecfg.seq_axis is not None
+            and ecfg.qcfg is not None
+            and ecfg.qcfg.enabled
+            and ecfg.qcfg.group_size > 0
+        ):
+            raise ValueError(
+                "seq_axis does not compose with per-chunk (group_size > 0) "
+                "quantized caches yet; use per-row (group_size=0) scales"
+            )
         # rope_scaling (models/rope.py): default schedule -> None (kernels
         # compute in-kernel from theta); scaled -> baked-in constants
         from ..models import rope as rope_mod
@@ -747,24 +757,33 @@ class Engine:
             return out
 
         rm = cache_lib.rank_major(ecfg.qcfg)
+        # per-chunk (group_size > 0) caches also run fused when init_cache
+        # chose the rank-major layout (chunk divides both ranks); detect
+        # from the buffers so dispatch always matches the actual layout
+        rm_chunked = (
+            quantized
+            and ecfg.qcfg.group_size > 0
+            and not k_dense and not v_dense
+            and "codes_t" in entry["k"]
+            and "codes_t" in entry["v"]
+        )
         if (
             ecfg.use_pallas
             and "k_bias" not in der
             and self._inv_freq_static is None
-            and (not quantized or rm)
+            and (not quantized or rm or rm_chunked)
         ):
-            # Models with k-projection bias (qwen2), scaled-rope models, and
-            # per-chunk-quantized caches (group_size > 0 -- no fused kernel
-            # consumes per-chunk scales) use the XLA path below.
+            # Models with k-projection bias (qwen2) and scaled-rope models
+            # use the XLA path below.
             from ..ops.pallas import palu_decode as pk
             from ..ops.pallas import palu_decode4 as pk4
 
-            # rank-major (per-row) quantized caches all run the v4
-            # transposed kernel; asym passes its per-token zero rows and
-            # the kernel folds the zero term past the big dots
-            # (palu_decode4.py docstring 4b). v2 remains only as a
-            # benchmark comparison point.
-            use_v4 = rm
+            # rank-major quantized caches all run the v4 transposed kernel;
+            # asym passes its per-token zero rows and the kernel folds the
+            # zero term past the big dots (palu_decode4.py docstring 4b);
+            # per-chunk scales (rm_chunked) dequantize in VMEM pre-dot.
+            # v2 remains only as a benchmark comparison point.
+            use_v4 = rm or rm_chunked
             block_s = self._pallas_block
 
             def kernel_call(q_, b_k_, k_bufs, v_bufs, kv_len_):
@@ -780,18 +799,26 @@ class Engine:
                 if use_v4:
                     g_ = k_bufs["scale_t"].shape[1]
                     s_max_ = k_bufs["scale_t"].shape[3]
-                    zeros = {}
-                    if not ecfg.qcfg.sym:
-                        zeros = {
+                    if rm_chunked:
+                        # per-chunk: pass the (B, G, n_sc, S) row stacks raw
+                        ksc, vsc = k_bufs["scale_t"], v_bufs["scale_t"]
+                        zeros = {} if ecfg.qcfg.sym else {
+                            "xk_zero": k_bufs["zero_t"],
+                            "xv_zero": v_bufs["zero_t"],
+                        }
+                    else:
+                        ksc = k_bufs["scale_t"].reshape(-1, g_, s_max_)
+                        vsc = v_bufs["scale_t"].reshape(-1, g_, s_max_)
+                        zeros = {} if ecfg.qcfg.sym else {
                             "xk_zero": k_bufs["zero_t"].reshape(-1, g_, s_max_),
                             "xv_zero": v_bufs["zero_t"].reshape(-1, g_, s_max_),
                         }
                     return pk4.palu_flash_decode4_quantized(
                         q_, b_k_,
                         k_bufs["codes_t"],
-                        k_bufs["scale_t"].reshape(-1, g_, s_max_),
+                        ksc,
                         v_bufs["codes_t"],
-                        v_bufs["scale_t"].reshape(-1, g_, s_max_),
+                        vsc,
                         kv_len_,
                         qcfg=ecfg.qcfg, rk=rk, rv=rv, block_s=block_s,
                         theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
