@@ -141,6 +141,7 @@ def _make_kernel4(
     n_sc_k: int = 1,
     n_sc_v: int = 1,
     chunked: bool = False,
+    seg_sum: bool = False,
 ):
     """bits=None builds the fp (bf16 rank-major latents, no scales) variant;
     the cache refs then hold latent rows directly instead of packed codes,

@@ -115,6 +115,20 @@ def make_fn(variant):
                 qm.pack_codes_t(vc, bits), vss[..., 0], kvl)
         fn = functools.partial(fn, xk_zero=kz[..., 0], xv_zero=vz[..., 0])
         sol = sol_bf16 * (bits / 16 + 0.02)
+    elif variant.startswith("v4g"):
+        # per-chunk scales (--lt_group_size > 0): in-VMEM pre-dot dequant;
+        # chunk size from env GSZ (default 128)
+        bits = int(variant[3:])
+        gsz = int(os.environ.get("GSZ", 128))
+        qc = QuantConfig(bits=bits, group_size=gsz, sym=True)
+        kc, kss, _ = qm.quantize_affine(x_k, qc)
+        vc, vss, _ = qm.quantize_affine(x_v, qc)
+        fn = jax.jit(functools.partial(
+            palu_flash_decode4_quantized, qcfg=qc, rk=rk, rv=rv,
+            block_s=block_s))
+        args = (b_k, qm.pack_codes_t(kc, bits), jnp.swapaxes(kss, -1, -2),
+                qm.pack_codes_t(vc, bits), jnp.swapaxes(vss, -1, -2), kvl)
+        sol = sol_bf16 * (bits / 16 + 0.02 * (rk // gsz + 1))
     elif variant.startswith("v4q"):
         # "v4q4r" = bf16 in-kernel rotation (rot_dtype); "v4q4" = fp32
         rot = jnp.bfloat16 if variant.endswith("r") else jnp.float32

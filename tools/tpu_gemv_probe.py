@@ -131,3 +131,75 @@ for p in probes:
 
 if "nop" in probes:
     run("nop", lambda c: c * jnp.bfloat16(1.0001), x1, 0.001)
+
+
+# ---- int8-weight GEMV probes at the MLP shape (full-model WBITS=8 path):
+# does XLA stream int8 codes at 1 byte/weight with the convert fused into
+# the operand read, or does it materialize a bf16 copy? Timing uses
+# multi-call DIFFERENCING (t_k - t_1 cancels the ~40 ms tunnel RTT).
+K2, N2 = 4096, 11008
+W8 = {"q": jnp.asarray(rng.integers(-127, 128, (K2, N2)), jnp.int8),
+      "s": jnp.asarray(rng.standard_normal((1, N2)) * 0.001, jnp.float32)}
+W2bf = jnp.asarray(rng.standard_normal((K2, N2)) * 0.02, bf)
+x2 = jnp.asarray(rng.standard_normal((1, K2)) * 0.1, bf)
+mb2_i8 = K2 * N2 / 1e6
+mb2_bf = K2 * N2 * 2 / 1e6
+
+
+def run_diff(name, fn, x, nbytes_mb, kcalls=4):
+    def chained(xx):
+        def body(c, _):
+            y = fn(c)
+            nxt = x * (1.0 + 1e-6 * jnp.mean(y[:1, :8].astype(jnp.float32)).astype(bf))
+            return nxt, ()
+        c, _ = jax.lax.scan(body, xx, jnp.arange(NCH))
+        return c
+
+    cj = jax.jit(chained)
+    t0 = time.time()
+    out = cj(x)
+    _ = np.asarray(out)[:1, :1]
+    compile_s = time.time() - t0
+
+    def timed(nc):
+        nonlocal out
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _i in range(nc):
+                out = cj(out)
+            _ = np.asarray(out)[:1, :1]
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, tk = timed(1), timed(kcalls)
+    us = (tk - t1) / ((kcalls - 1) * NCH) * 1e6
+    print(f"{name:10s}: {us:7.1f} us ({nbytes_mb / us * 1e3:4.0f} GB/s of its"
+          f" own bytes) compile {compile_s:.0f}s", flush=True)
+
+
+def mm8(c, w):
+    y = jax.lax.dot_general(c, w["q"].astype(bf), (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return (y * w["s"]).astype(bf)
+
+
+for p in probes:
+    if p == "i8":
+        run_diff("i8", lambda c: mm8(c, W8), x2, mb2_i8)
+    elif p == "i8noscale":
+        run_diff("i8noscale", lambda c: jax.lax.dot_general(
+            c, W8["q"].astype(bf), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(bf), x2, mb2_i8)
+    elif p == "bfmlp":
+        run_diff("bfmlp", lambda c: (c @ W2bf).astype(bf), x2, mb2_bf)
+    elif p == "i8mlp3":
+        # gate/up/down in one body like the model bench layer
+        W8b = {"q": jnp.asarray(rng.integers(-127, 128, (K2, N2)), jnp.int8),
+               "s": W8["s"]}
+        W8d = {"q": jnp.asarray(rng.integers(-127, 128, (N2, K2)), jnp.int8),
+               "s": jnp.asarray(rng.standard_normal((1, K2)) * 0.001, jnp.float32)}
+        def mlp3(c):
+            h = jax.nn.silu(mm8(c, W8).astype(jnp.float32)).astype(bf) * mm8(c, W8b)
+            return mm8(h, W8d)
+        run_diff("i8mlp3", mlp3, x2, 3 * mb2_i8)
