@@ -275,7 +275,12 @@ def _make_kernel4(
                 v = jax.lax.dot_general(
                     bq2, ck, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(rot_dtype)
-                t = (u * cos + v * sin).astype(cdt)
+                if seg_sum:
+                    # stays in rot_dtype: the sublane segment-sum consumes
+                    # it directly (no MXU dot, so no down-cast needed)
+                    t = u * cos + v * sin
+                else:
+                    t = (u * cos + v * sin).astype(cdt)
                 if not asym or chunked:
                     # chunked asym needs no folded correction: the zero
                     # entered the dequantized operand before the dots
@@ -300,8 +305,19 @@ def _make_kernel4(
                     t_a, c_a = k_path(gj)
                     t_b, c_b = k_path(gj + 1)
                     t2 = jnp.concatenate([t_a, t_b], axis=0)
-                    lg2 = jnp.dot(seg_ref[...].astype(cdt), t2,
-                                  preferred_element_type=jnp.float32)  # (2hpg, BS)
+                    if seg_sum:
+                        # per-head sublane reduction instead of the 0/1
+                        # segment dot: the dot's (2hpg, BS) output occupies
+                        # 8 of 128 MXU rows (16x slot waste, ~180 us/layer
+                        # at the 7B/64K point); rows of t2 are head-major
+                        # contiguous so a sublane-split reshape + sum is
+                        # exactly the segment sum
+                        lg2 = jnp.sum(
+                            t2.reshape(2 * hpg, half, block_s), axis=1
+                        ).astype(jnp.float32)
+                    else:
+                        lg2 = jnp.dot(seg_ref[...].astype(cdt), t2,
+                                      preferred_element_type=jnp.float32)  # (2hpg, BS)
                     if bits is None or chunked:
                         # fp latents / chunked pre-dot dequant: values are
                         # already in latent units, nothing to fold back
@@ -322,8 +338,13 @@ def _make_kernel4(
             else:
                 for gi in range(g):
                     t_g, c_g = k_path(gi)
-                    lg = jnp.dot(seg_ref[0:hpg, 0 : hpg * half].astype(cdt),
-                                 t_g, preferred_element_type=jnp.float32)
+                    if seg_sum:
+                        lg = jnp.sum(
+                            t_g.reshape(hpg, half, block_s), axis=1
+                        ).astype(jnp.float32)
+                    else:
+                        lg = jnp.dot(seg_ref[0:hpg, 0 : hpg * half].astype(cdt),
+                                     t_g, preferred_element_type=jnp.float32)
                     if bits is not None and not chunked:
                         lg = lg * ks_rows[gi : gi + 1, :]
                         if asym:
@@ -385,7 +406,7 @@ def _call4(
     *, bits, rk, rv, block_s, theta, sliding_window, interpret,
     compute_dtype, inv_freq_static, rope_scale, rot_dtype=jnp.float32,
     xk_zero=None, xv_zero=None, pos_offset=None, return_stats=False,
-    layer_idx=None, group_chunk=None,
+    layer_idx=None, group_chunk=None, seg_sum=False,
 ):
     asym = xk_zero is not None
     stacked = layer_idx is not None
@@ -457,6 +478,7 @@ def _call4(
         compute_dtype=compute_dtype, rot_dtype=rot_dtype, asym=asym,
         return_stats=return_stats, layer_stacked=stacked,
         n_sc_k=nsk, n_sc_v=nsv, chunked=group_chunk is not None,
+        seg_sum=seg_sum,
     )
 
     grid = (b, nblk)
@@ -563,7 +585,7 @@ def _call4(
     jax.jit,
     static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window",
                      "interpret", "compute_dtype", "inv_freq_static",
-                     "rope_scale", "rot_dtype", "return_stats"),
+                     "rope_scale", "rot_dtype", "return_stats", "seg_sum"),
 )
 def palu_flash_decode4_quantized(
     q: jax.Array,  # (B, nh, hd)
@@ -593,6 +615,8 @@ def palu_flash_decode4_quantized(
     # (L, ...) layer dim; the scalar-prefetched index selects the layer's
     # blocks in the BlockSpec maps (no XLA-level cache slice in scanned
     # full-model decode)
+    seg_sum: bool = False,  # per-head sublane reduction instead of the 0/1
+    # segment dot (saves the 16x-row-padded MXU dot; A/B knob)
 ) -> jax.Array:
     """Decode attention over an affine-quantized rank-major latent cache
     -> (B, nh, rv) latent-space output.
@@ -626,7 +650,7 @@ def palu_flash_decode4_quantized(
         rope_scale=rope_scale, rot_dtype=rot_dtype,
         xk_zero=xk_zero, xv_zero=xv_zero,
         pos_offset=pos_offset, return_stats=return_stats,
-        layer_idx=layer_idx,
+        layer_idx=layer_idx, seg_sum=seg_sum,
     )
 
 
@@ -634,7 +658,7 @@ def palu_flash_decode4_quantized(
     jax.jit,
     static_argnames=("rk", "rv", "block_s", "theta", "sliding_window",
                      "interpret", "compute_dtype", "inv_freq_static",
-                     "rope_scale", "rot_dtype", "return_stats"),
+                     "rope_scale", "rot_dtype", "return_stats", "seg_sum"),
 )
 def palu_flash_decode4(
     q: jax.Array,  # (B, nh, hd)
@@ -655,6 +679,7 @@ def palu_flash_decode4(
     rot_dtype=jnp.float32,
     pos_offset: Optional[jax.Array] = None,
     return_stats: bool = False,
+    seg_sum: bool = False,
 ) -> jax.Array:
     """Transposed-formulation decode over an UNQUANTIZED rank-major latent
     cache -> (B, nh, rv).  Same kernel as the quantized variant with the
@@ -669,5 +694,5 @@ def palu_flash_decode4(
         sliding_window=sliding_window, interpret=interpret,
         compute_dtype=compute_dtype, inv_freq_static=inv_freq_static,
         rope_scale=rope_scale, rot_dtype=rot_dtype,
-        pos_offset=pos_offset, return_stats=return_stats,
+        pos_offset=pos_offset, return_stats=return_stats, seg_sum=seg_sum,
     )

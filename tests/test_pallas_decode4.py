@@ -287,3 +287,30 @@ def test_v4_chunked_layer_stacked(sym):
             layer_idx=jnp.asarray(li, jnp.int32))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("bits,sym", [(4, True), (3, False)])
+def test_v4_seg_sum_matches_seg_dot(bits, sym):
+    """seg_sum (per-head sublane reduction) is numerically equivalent to the
+    0/1 segment dot it replaces (fp32 sum vs fp32-accumulated dot)."""
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=200, seed=11)
+    out_dot, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64,
+                                      sym=sym)
+    out_sum, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64,
+                                      sym=sym, seg_sum=True)
+    np.testing.assert_allclose(out_sum, out_dot, rtol=2e-5, atol=2e-5)
+
+
+def test_v4_seg_sum_fp_and_odd_groups():
+    from palu_tpu.ops.pallas.palu_decode4 import palu_flash_decode4
+
+    q, b_k, x_k, x_v, kvl = _setup(g=3, kv_len=200, seed=13)
+    t = lambda a: jnp.swapaxes(a, 2, 3)
+    a = palu_flash_decode4(q, b_k, t(x_k), t(x_v), kvl, rk=32, rv=64,
+                           block_s=64, interpret=True,
+                           compute_dtype=jnp.float32)
+    b = palu_flash_decode4(q, b_k, t(x_k), t(x_v), kvl, rk=32, rv=64,
+                           block_s=64, interpret=True,
+                           compute_dtype=jnp.float32, seg_sum=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-5,
+                               atol=2e-5)

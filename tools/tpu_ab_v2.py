@@ -115,6 +115,19 @@ def make_fn(variant):
                 qm.pack_codes_t(vc, bits), vss[..., 0], kvl)
         fn = functools.partial(fn, xk_zero=kz[..., 0], xv_zero=vz[..., 0])
         sol = sol_bf16 * (bits / 16 + 0.02)
+    elif variant.startswith("v4s"):
+        # seg_sum: per-head sublane reduction replaces the 16x-row-padded
+        # segment dot
+        bits = int(variant[3:])
+        qc = QuantConfig(bits=bits, group_size=0, sym=True)
+        kc, kss, kz = qm.quantize_affine(x_k, qc)
+        vc, vss, vz = qm.quantize_affine(x_v, qc)
+        fn = jax.jit(functools.partial(
+            palu_flash_decode4_quantized, qcfg=qc, rk=rk, rv=rv,
+            block_s=block_s, seg_sum=True))
+        args = (b_k, qm.pack_codes_t(kc, bits), kss[..., 0],
+                qm.pack_codes_t(vc, bits), vss[..., 0], kvl)
+        sol = sol_bf16 * (bits / 16 + 0.02)
     elif variant.startswith("v4g"):
         # per-chunk scales (--lt_group_size > 0): in-VMEM pre-dot dequant;
         # chunk size from env GSZ (default 128)
