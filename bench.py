@@ -112,7 +112,7 @@ def bench_attention_module(
         xk = jax.lax.dynamic_update_slice(xk, lat_k, (0, 0, 0, pos))
         xv = jax.lax.dynamic_update_slice(xv, lat_v, (0, 0, 0, pos))
         out = palu_flash_decode4(q, b_k, xk, xv, pos + 1, rk=rk, rv=rv,
-                                 block_s=block_s, interpret=interp)
+                                 block_s=2 * block_s, interpret=interp)
         y = out.astype(bf).reshape(1, num_heads * rv) @ wo_fused
         return y, xk, xv
 
@@ -257,12 +257,10 @@ def bench_attention_module(
     for bits in (4, 3, 2):
         log(f"# compiling palu {bits}-bit step...", file=sys.stderr)
         qcfg_b = QuantConfig(bits=bits, group_size=0, sym=True)
-        # block sweep on chip (chain-96 A/B, tools/tpu_ab_v2.py): 4-bit is
-        # fastest at block 2048 (940us vs 983 @1024, 965 @4096); 3-bit
-        # prefers 1024 (plane unpack VMEM pressure)
-        # block sweep on chip: 4-bit fastest at 2048; 2-bit shares the cheap
-        # nibble-style unpack so it inherits 2048; 3-bit prefers 1024
-        step_jit = make_quant_step(qcfg_b, block_s if bits == 3 else 2 * block_s)
+        # block sweep on chip (chain-96 A/B, tools/tpu_ab_v2.py): with the
+        # seg_sum kernel every bit width is fastest at block 2048
+        # (4-bit 574us vs 587 @1024, 580 @4096; 3-bit 739 vs 755/756)
+        step_jit = make_quant_step(qcfg_b, 2 * block_s)
         kc0 = jnp.zeros((1, g, packed_nrows(rk, bits), s_max), jnp.uint8)
         ks0 = jnp.zeros((1, g, s_max), jnp.float32)
         vc0 = jnp.zeros((1, g, packed_nrows(rv, bits), s_max), jnp.uint8)

@@ -615,8 +615,11 @@ def palu_flash_decode4_quantized(
     # (L, ...) layer dim; the scalar-prefetched index selects the layer's
     # blocks in the BlockSpec maps (no XLA-level cache slice in scanned
     # full-model decode)
-    seg_sum: bool = False,  # per-head sublane reduction instead of the 0/1
-    # segment dot (saves the 16x-row-padded MXU dot; A/B knob)
+    seg_sum: bool = True,  # per-head sublane reduction instead of the 0/1
+    # segment dot (saves the 16x-row-padded MXU dot; default ON — the
+    # chip sweep has it equal-or-faster at every block size / bit width /
+    # zero-point config measured, docs/BENCH.md round-3; seg_sum=False
+    # keeps the dot path as an A/B knob)
 ) -> jax.Array:
     """Decode attention over an affine-quantized rank-major latent cache
     -> (B, nh, rv) latent-space output.
@@ -679,7 +682,7 @@ def palu_flash_decode4(
     rot_dtype=jnp.float32,
     pos_offset: Optional[jax.Array] = None,
     return_stats: bool = False,
-    seg_sum: bool = False,
+    seg_sum: bool = True,  # default ON (see palu_flash_decode4_quantized)
 ) -> jax.Array:
     """Transposed-formulation decode over an UNQUANTIZED rank-major latent
     cache -> (B, nh, rv).  Same kernel as the quantized variant with the

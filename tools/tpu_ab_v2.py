@@ -110,7 +110,7 @@ def make_fn(variant):
         vc, vss, vz = qm.quantize_affine(x_v, qc)
         fn = jax.jit(functools.partial(
             palu_flash_decode4_quantized, qcfg=qc, rk=rk, rv=rv,
-            block_s=block_s))
+            block_s=block_s, seg_sum=os.environ.get("SEG", "") == "1"))
         args = (b_k, qm.pack_codes_t(kc, bits), kss[..., 0],
                 qm.pack_codes_t(vc, bits), vss[..., 0], kvl)
         fn = functools.partial(fn, xk_zero=kz[..., 0], xv_zero=vz[..., 0])
@@ -157,7 +157,8 @@ def make_fn(variant):
         sol = sol_bf16 * (bits / 16 + 0.02)
     elif variant == "v4":
         fn = jax.jit(functools.partial(
-            palu_flash_decode4, rk=rk, rv=rv, block_s=block_s))
+            palu_flash_decode4, rk=rk, rv=rv, block_s=block_s,
+            seg_sum=os.environ.get("SEG", "") == "1"))
         args = (b_k, jnp.swapaxes(x_k, 2, 3), jnp.swapaxes(x_v, 2, 3), kvl)
         sol = sol_bf16
     elif variant == "xla":
