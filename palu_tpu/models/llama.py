@@ -26,6 +26,7 @@ identical (kernel/palu_attention.py:241-257):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -235,7 +236,27 @@ def attention_core(
 def mlp_forward(x: jax.Array, p: Params) -> jax.Array:
     # wdot == `@` for plain arrays; handles int8 weight-only storage
     # (core/wquant, EngineConfig.weight_bits=8) transparently
-    from ..core.wquant import wdot
+    from ..core.wquant import is_quantized_weight, wdot
+
+    mode = os.environ.get("PALU_GEMV_KERNEL", "1")  # "0" off, "force" = run
+    # in interpret mode off-TPU (CPU dispatch tests)
+    if (
+        mode != "0"
+        and all(is_quantized_weight(p[k]) for k in ("gate", "up", "down"))
+        and int(np.prod(x.shape[:-1])) <= 8
+        and p["gate"]["wq8"].shape[1] % 128 == 0
+        and (jax.default_backend() == "tpu" or mode == "force")
+    ):
+        # decode-sized inputs on TPU: one fused streaming pass over the
+        # int8 weights (ops/pallas/gemv_int8) instead of three XLA GEMVs
+        # whose scheduling inside the scanned layer body leaves ~40% of
+        # HBM bandwidth idle (docs/BENCH.md round-3 decomposition)
+        from ..ops.pallas.gemv_int8 import mlp_gemv_int8
+
+        lead = x.shape[:-1]
+        out = mlp_gemv_int8(x.reshape(-1, x.shape[-1]), p["gate"], p["up"],
+                            p["down"], interpret=jax.default_backend() != "tpu")
+        return out.reshape(*lead, out.shape[-1])
 
     gate = wdot(x, p["gate"])
     up = wdot(x, p["up"])

@@ -184,8 +184,27 @@ def mm8(c, w):
     return (y * w["s"]).astype(bf)
 
 
+from palu_tpu.ops.pallas.gemv_int8 import gemv_int8, mlp_gemv_int8
+
 for p in probes:
-    if p == "i8":
+    if p == "kmlp":
+        # fused Pallas MLP kernel at the 7B shape (gate+up+silu*mul+down in
+        # one pass; every weight byte read once at int8)
+        W8b = {"wq8": jnp.asarray(rng.integers(-127, 128, (K2, N2)), jnp.int8),
+               "ws": jnp.asarray(rng.standard_normal((1, N2)) * 0.001, jnp.float32)}
+        W8c = {"wq8": jnp.asarray(rng.integers(-127, 128, (K2, N2)), jnp.int8),
+               "ws": W8b["ws"]}
+        W8d = {"wq8": jnp.asarray(rng.integers(-127, 128, (N2, K2)), jnp.int8),
+               "ws": jnp.asarray(rng.standard_normal((1, K2)) * 0.001, jnp.float32)}
+        bn = int(os.environ.get("KBN", 0))
+        run_diff("kmlp", lambda c: mlp_gemv_int8(W8b and c, W8b, W8c, W8d, block_n=bn),
+                 x2, 3 * mb2_i8)
+    elif p == "kgemv":
+        W8g = {"wq8": jnp.asarray(rng.integers(-127, 128, (K2, N2)), jnp.int8),
+               "ws": jnp.asarray(rng.standard_normal((1, N2)) * 0.001, jnp.float32)}
+        bn = int(os.environ.get("KBN", 0))
+        run_diff("kgemv", lambda c: gemv_int8(c, W8g, block_n=bn), x2, mb2_i8)
+    elif p == "i8":
         run_diff("i8", lambda c: mm8(c, W8), x2, mb2_i8)
     elif p == "i8noscale":
         run_diff("i8noscale", lambda c: jax.lax.dot_general(

@@ -45,6 +45,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 from palu_tpu.core import quant as qm
 from palu_tpu.core.quant import QuantConfig, packed_nrows
 from palu_tpu.ops.pallas.palu_decode4 import palu_flash_decode4_quantized
+from palu_tpu.ops.pallas.gemv_int8 import mlp_gemv_int8
 
 L = int(os.environ.get("LAYERS", 20))
 SEQ = int(os.environ.get("SEQ", 65536))
@@ -64,6 +65,8 @@ RK, RV = 128, 384  # per group (totals 1024 / 3072)
 HPG = NH // G
 THETA = 10000.0
 WBITS = int(os.environ.get("WBITS", 16))  # 16 = bf16, 8 = int8 weight storage
+MLPK = bool(int(os.environ.get("MLPK", "1")))  # fused Pallas MLP GEMV kernel
+# (ops/pallas/gemv_int8) instead of three XLA int8 GEMVs; WBITS=8 only
 
 
 def wq8_random(key, shape, s=0.02):
@@ -226,7 +229,14 @@ def build_palu(bits):
             x = x + mm(lat_out.astype(jnp.bfloat16).reshape(1, NH * RV), wl["wo_fused"])
             h2 = rms(x, wl["ln2"])
             if DISSECT != "nomlp":
-                x = x + mm(jax.nn.silu(mm(h2, wl["gate"])) * mm(h2, wl["up"]), wl["down"])
+                if MLPK and WBITS == 8:
+                    x = x + mlp_gemv_int8(
+                        h2, {"wq8": wl["gate"]["q"], "ws": wl["gate"]["s"]},
+                        {"wq8": wl["up"]["q"], "ws": wl["up"]["s"]},
+                        {"wq8": wl["down"]["q"], "ws": wl["down"]["s"]},
+                        interpret=INTERP)
+                else:
+                    x = x + mm(jax.nn.silu(mm(h2, wl["gate"])) * mm(h2, wl["up"]), wl["down"])
             return (x, cache), ()
 
         (x, cache), _ = jax.lax.scan(layer, (x, cache), (w, jnp.arange(L)))
