@@ -76,13 +76,18 @@ def quantize_params(params) -> dict:
     layers = []
     for layer in params["layers"]:
         layer = dict(layer)
-        attn = dict(layer["attn"])
+        # copy EVERY sub-dict (including the untouched k_proj/v_proj): the
+        # returned tree's containers must all be fresh so the engine can
+        # null entries during layer stacking without mutating caller params
+        attn = {
+            k: dict(v) if isinstance(v, dict) else v
+            for k, v in layer["attn"].items()
+        }
         for k in _ATTN_KEYS:
-            proj = dict(attn[k])
+            proj = attn[k]
             for wk in ("w", "w_fused"):
                 if proj.get(wk) is not None:
                     proj[wk] = q(proj[wk])
-            attn[k] = proj
         layer["attn"] = attn
         mlp = dict(layer["mlp"])
         for k in _MLP_KEYS:

@@ -682,20 +682,24 @@ def palu_flash_decode4(
     rot_dtype=jnp.float32,
     pos_offset: Optional[jax.Array] = None,
     return_stats: bool = False,
+    layer_idx: Optional[jax.Array] = None,  # (L, ...)-stacked cache (see
+    # palu_flash_decode4_quantized)
     seg_sum: bool = True,  # default ON (see palu_flash_decode4_quantized)
 ) -> jax.Array:
     """Transposed-formulation decode over an UNQUANTIZED rank-major latent
     cache -> (B, nh, rv).  Same kernel as the quantized variant with the
     unpack and per-token scaling compiled out; the cache streams straight
     into the (W, rk) @ (rk, BS) reconstruct dots."""
-    b, g = xk_t.shape[0], xk_t.shape[1]
-    s_max = xk_t.shape[3]
-    dummy = jnp.zeros((b, g, s_max), jnp.float32)
+    lb = (xk_t.shape[0],) if layer_idx is not None else ()
+    b, g = xk_t.shape[len(lb)], xk_t.shape[len(lb) + 1]
+    s_max = xk_t.shape[-1]
+    dummy = jnp.zeros(lb + (b, g, s_max), jnp.float32)
     return _call4(
         q, b_k, xk_t, dummy, xv_t, dummy, kv_len,
         bits=None, rk=rk, rv=rv, block_s=block_s, theta=theta,
         sliding_window=sliding_window, interpret=interpret,
         compute_dtype=compute_dtype, inv_freq_static=inv_freq_static,
         rope_scale=rope_scale, rot_dtype=rot_dtype,
-        pos_offset=pos_offset, return_stats=return_stats, seg_sum=seg_sum,
+        pos_offset=pos_offset, return_stats=return_stats,
+        layer_idx=layer_idx, seg_sum=seg_sum,
     )

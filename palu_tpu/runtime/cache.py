@@ -36,8 +36,9 @@ from ..core import quant
 from ..models.config import ModelConfig
 
 __all__ = [
-    "init_cache", "cache_nbytes", "write_prefill", "write_token",
-    "rank_major", "seq_slice",
+    "init_cache", "init_cache_stacked", "cache_nbytes", "write_prefill",
+    "write_token", "rank_major", "seq_slice", "layer_view",
+    "write_at_lanes_stacked",
 ]
 
 
@@ -137,6 +138,112 @@ def init_cache(
                                         rank_major_fp)
         layers.append(entry)
     return {"layers": layers, "length": jnp.zeros((batch,), jnp.int32)}
+
+
+def init_cache_stacked(
+    cfg: ModelConfig,
+    batch: int,
+    s_max: int,
+    dtype=jnp.bfloat16,
+    qcfg: Optional[quant.QuantConfig] = None,
+    rank_major_fp: bool = False,
+) -> Dict[str, Any]:
+    """Layer-STACKED cache: one {"k": bufs, "v": bufs} tree whose leaves
+    carry a leading (L, ...) layer axis, so a lax.scan over layers can pass
+    the whole stack through its carry and the v4 kernel's scalar-prefetched
+    `layer_idx` selects blocks directly from the stacked buffers -- no
+    per-layer XLA cache slice (~0.45 ms/layer of pure copy at 7B/64K,
+    docs/BENCH.md full-model decomposition). Requires uniform ranks across
+    layers and all-low-rank k/v (Engine auto-falls-back otherwise)."""
+    g = cfg.num_kv_groups
+    L = cfg.num_hidden_layers
+    rk = cfg.uniform_rank_for(0, "k_proj")
+    rv = cfg.uniform_rank_for(0, "v_proj")
+    for i in range(L):
+        if (cfg.uniform_rank_for(i, "k_proj") != rk
+                or cfg.uniform_rank_for(i, "v_proj") != rv):
+            raise ValueError("stacked cache requires uniform ranks per layer")
+    if rk is None or rv is None:
+        raise ValueError("stacked cache requires low-rank k and v")
+
+    def stack_bufs(rank):
+        one = stacked_squeeze(
+            _layer_buffers(batch, g, s_max, rank, dtype, qcfg, rank_major_fp),
+            qcfg,
+        )
+        return {
+            k: jnp.zeros((L,) + v.shape, v.dtype) for k, v in one.items()
+        }
+
+    return {
+        "stack": {"k": stack_bufs(rk), "v": stack_bufs(rv)},
+        "length": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+def stacked_squeeze(bufs: Dict[str, jax.Array], qcfg) -> Dict[str, jax.Array]:
+    """Per-row (group_size == 0) rank-major scale/zero leaves drop their
+    unit n_sc axis in the STACKED layout: (.., G, 1, S) -> (.., G, S).
+    The v4 kernel consumes exactly that shape, so the scanned decode body
+    never reshapes a multi-MB carry buffer per layer (an XLA reshape in the
+    scan body can materialize a copy each iteration). Per-chunk scales
+    (group_size > 0) keep their row-stack axis."""
+    if qcfg is None or not qcfg.enabled or qcfg.group_size > 0:
+        return bufs
+    out = dict(bufs)
+    for k in ("scale_t", "zero_t"):
+        if k in out:
+            out[k] = out[k][..., 0, :]
+    return out
+
+
+def stacked_unsqueeze(bufs: Dict[str, jax.Array], qcfg) -> Dict[str, jax.Array]:
+    """Inverse of stacked_squeeze on a per-layer VIEW: re-insert the unit
+    n_sc axis so layout-generic readers (decode_latents, seq_slice users)
+    see the standard per-layer shapes."""
+    if qcfg is None or not qcfg.enabled or qcfg.group_size > 0:
+        return bufs
+    out = dict(bufs)
+    for k in ("scale_t", "zero_t"):
+        if k in out:
+            out[k] = out[k][..., None, :]
+    return out
+
+
+def layer_view(stack: Dict[str, Any], i: int) -> Dict[str, Any]:
+    """Static per-layer view of a stacked {"k","v"} buffer tree. Inside a
+    trace this is a basic slice XLA fuses into the consumers (reads only;
+    writes go through write_at_lanes_stacked)."""
+    return jax.tree.map(lambda a: a[i], stack)
+
+
+def write_at_lanes_stacked(
+    buf: Dict[str, jax.Array],  # leaves (L, B, G, ..., S)
+    update: Dict[str, jax.Array],  # leaves (B, G, ..., S_new) (lane layout)
+    pos: jax.Array,  # (B,) per-lane sequence offsets
+    layer_idx,  # static int (prefill loop) or traced scalar (decode scan)
+    mask: Optional[jax.Array] = None,  # (B,) bool; None = unconditional
+) -> Dict[str, jax.Array]:
+    """Per-lane write into layer `layer_idx` of a stacked buffer tree.
+    A Python loop over lanes keeps every write a plain dynamic_update_slice
+    (aliasable in place under donation); with `mask`, masked-out lanes
+    re-write their current content (same no-op contract as
+    write_at_lanes_masked)."""
+    li = jnp.asarray(layer_idx, jnp.int32)
+    out = {}
+    for k, u in update.items():
+        a = buf[k]
+        nlane = u.shape[0]
+        for b in range(nlane):
+            ub = u[b][None, None]  # (1, 1, G, ..., S_new)
+            starts = [li, b] + [0] * (ub.ndim - 2)
+            starts[2 + _seq_axis(k, ub.ndim - 2)] = pos[b]
+            if mask is not None:
+                cur = jax.lax.dynamic_slice(a, starts, ub.shape)
+                ub = jnp.where(mask[b], ub, cur)
+            a = jax.lax.dynamic_update_slice(a, ub.astype(a.dtype), starts)
+        out[k] = a
+    return out
 
 
 def cache_nbytes(cache: Dict[str, Any]) -> int:

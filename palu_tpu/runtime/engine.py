@@ -67,6 +67,16 @@ class EngineConfig:
     # scales (core/wquant) -- halves weight HBM and weight-read time per
     # decode step; the low-rank VT/U factors stay in `dtype`
     weight_bits: int = 16
+    # None = auto: stack per-layer weights and cache buffers on a leading
+    # (L, ...) axis and decode through ONE lax.scan layer body whose v4
+    # kernel selects the layer via a scalar-prefetched index -- the HLO has
+    # one layer body instead of L copies and no per-layer cache slice
+    # (47.9 -> 34.7 ms/step at true-32-layer 7B/64K, docs/BENCH.md).
+    # Auto requires: use_pallas, no mesh/seq_axis, all layers low-rank with
+    # uniform ranks, no k/v-projection biases, default rope schedule, and a
+    # rank-major cache (packed quantized or rank_major_fp). True forces it
+    # (raises when ineligible); False keeps the unrolled per-layer decode.
+    stacked_decode: Optional[bool] = None
 
 
 def build_decode_b(u_k: np.ndarray, cfg: ModelConfig) -> np.ndarray:
@@ -90,14 +100,56 @@ def build_decode_b(u_k: np.ndarray, cfg: ModelConfig) -> np.ndarray:
     return b
 
 
+def _stack_layers(layers, owned: bool = False):
+    """Per-layer param dicts -> one tree with a leading (L,) axis on every
+    leaf. With owned=True (the engine owns the list, e.g. it came out of
+    wquant.quantize_params) each layer's DEVICE leaf is nulled in place as
+    soon as its column is stacked, so peak extra device memory is one
+    stacked leaf (~1.4 GB for the 7B int8 MLP down), not a second full copy
+    of the weights (which would not fit beside them on a 16 GB chip).
+    Host numpy leaves stack in host RAM and upload once."""
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(layers[0])
+    for l in layers[1:]:
+        if jax.tree_util.tree_structure(l) != treedef:
+            raise ValueError("stacked_decode requires homogeneous layers")
+
+    def get(node, path):
+        for p in path:
+            node = node[p.key if hasattr(p, "key") else p.idx]
+        return node
+
+    def null(node, path):
+        for p in path[:-1]:
+            node = node[p.key if hasattr(p, "key") else p.idx]
+        last = path[-1]
+        node[last.key if hasattr(last, "key") else last.idx] = None
+
+    out_leaves = []
+    for path, leaf0 in paths_leaves:
+        col = [get(l, path) for l in layers]
+        if all(isinstance(a, np.ndarray) for a in col):
+            st = jnp.asarray(np.stack(col))
+        else:
+            col = [jnp.asarray(a) for a in col]
+            if owned:
+                for l in layers:
+                    null(l, path)
+            st = jnp.stack(col)
+        out_leaves.append(st)
+        col = None
+    return jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+
 class Engine:
     """Latent-KV generation engine for one model. Not a pytree -- holds
     params plus derived decode weights and jitted step functions."""
 
     def __init__(self, params, cfg: ModelConfig, ecfg: EngineConfig):
-        # ragged (fisher-search) checkpoints: pad per-group ranks up to the
-        # layer max so the static-shape cache/kernels see uniform ranks
-        params, cfg = llama.pad_ragged_params(params, cfg)
+        pre_stacked = "layers_stacked" in params
+        if not pre_stacked:
+            # ragged (fisher-search) checkpoints: pad per-group ranks up to
+            # the layer max so static-shape cache/kernels see uniform ranks
+            params, cfg = llama.pad_ragged_params(params, cfg)
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg
@@ -151,17 +203,103 @@ class Engine:
             self._inv_freq = None
             self._inv_freq_static = None
             self._rope_scale = 1.0
-        self.derived = self._build_derived()
-        if ecfg.weight_bits == 8:
-            # after _build_derived (which folds full-precision o_proj into
-            # the qwen2 v-bias correction and b_k)
-            self.params = wquant.quantize_params(self.params)
-        elif ecfg.weight_bits != 16:
+        if ecfg.weight_bits not in (16, 8):
             raise ValueError(f"weight_bits must be 16 or 8, got {ecfg.weight_bits}")
+        if pre_stacked:
+            # constructed from another stacked engine's params (e.g. the
+            # ServingEngine's shared-params prefill engine): weights are
+            # already stacked (and already int8 when weight_bits == 8)
+            self._stacked = True
+            if ecfg.stacked_decode is False:
+                raise ValueError("params are layer-stacked; stacked_decode "
+                                 "cannot be disabled for them")
+            reason = self._stacked_ineligible_reason()
+            if reason:
+                raise ValueError(f"stacked params but ineligible config: {reason}")
+            self.derived = []
+            self._bk_stack = self._build_bk_stack(
+                np.asarray(self.params["layers_stacked"]["attn"]["k_proj"]["U"])
+            )
+        else:
+            self.derived = self._build_derived()
+            if ecfg.weight_bits == 8:
+                # after _build_derived (which folds full-precision o_proj
+                # into the qwen2 v-bias correction and b_k)
+                self.params = wquant.quantize_params(self.params)
+            reason = self._stacked_ineligible_reason()
+            if ecfg.stacked_decode is True and reason:
+                raise ValueError(f"stacked_decode unavailable: {reason}")
+            self._stacked = (
+                ecfg.stacked_decode if ecfg.stacked_decode is not None
+                else reason is None
+            )
+            if self._stacked:
+                new_params = dict(self.params)
+                layers = new_params.pop("layers")
+                # weight_bits == 8: quantize_params built a fresh device
+                # tree only we reference -> release leaves while stacking
+                new_params["layers_stacked"] = _stack_layers(
+                    layers, owned=ecfg.weight_bits == 8
+                )
+                self.params = new_params
+                self._bk_stack = jnp.asarray(
+                    np.stack([np.asarray(d["b_k"]) for d in self.derived])
+                )
         self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(1,))
         self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,))
 
     # -- build ---------------------------------------------------------------
+
+    def _stacked_ineligible_reason(self) -> Optional[str]:
+        """None when the layer-stacked scanned decode can serve this config,
+        else a human-readable reason for the per-layer fallback."""
+        ecfg, cfg = self.ecfg, self.cfg
+        if not ecfg.use_pallas:
+            return "use_pallas is off"
+        if ecfg.mesh is not None or ecfg.seq_axis is not None:
+            return "mesh/seq_axis decode runs the per-layer shard_map paths"
+        if self._inv_freq_static is not None:
+            return "scaled-rope engines use the per-layer path"
+        quantized = ecfg.qcfg is not None and ecfg.qcfg.enabled
+        n = cfg.num_hidden_layers
+        rks = {cfg.uniform_rank_for(i, "k_proj") for i in range(n)}
+        rvs = {cfg.uniform_rank_for(i, "v_proj") for i in range(n)}
+        if len(rks) != 1 or len(rvs) != 1 or None in rks or None in rvs:
+            return "requires all-low-rank k/v with uniform ranks across layers"
+        rk, rv = rks.pop(), rvs.pop()
+        if quantized:
+            if not (
+                cache_lib.rank_major(ecfg.qcfg)
+                or (
+                    cache_lib.rank_major_chunked(ecfg.qcfg, rk)
+                    and cache_lib.rank_major_chunked(ecfg.qcfg, rv)
+                )
+            ):
+                return "quantized cache layout is not rank-major"
+        elif not ecfg.rank_major_fp:
+            return "fp cache must be rank_major_fp (v4 kernel layout)"
+        if "layers_stacked" in self.params:
+            attns = [self.params["layers_stacked"]["attn"]]
+        else:
+            attns = [l["attn"] for l in self.params["layers"]]
+        for a in attns:
+            if "VT" not in a["k_proj"] or "VT" not in a["v_proj"]:
+                return "dense k/v layer present"
+            if (a["k_proj"].get("b") is not None
+                    or a["v_proj"].get("b") is not None):
+                return "k/v projection bias (qwen2) uses the per-layer path"
+        return None
+
+    def _build_bk_stack(self, u_all: np.ndarray) -> jax.Array:
+        """(L, G, rk, group_dim) stacked U_k -> (L, G, hpg, rk, hd) stacked
+        per-q-head reconstruction matrices for the scanned decode's xs."""
+        bks = [
+            build_decode_b(u_all[i].astype(np.float32), self.cfg).astype(
+                self.ecfg.dtype
+            )
+            for i in range(u_all.shape[0])
+        ]
+        return jnp.asarray(np.stack(bks))
 
     def _build_derived(self):
         cfg = self.cfg
@@ -251,7 +389,10 @@ class Engine:
         return entry["b_v"]
 
     def init_cache(self):
-        return cache_lib.init_cache(
+        init = (
+            cache_lib.init_cache_stacked if self._stacked else cache_lib.init_cache
+        )
+        return init(
             self.cfg,
             self.ecfg.batch,
             self.ecfg.s_max,
@@ -267,6 +408,8 @@ class Engine:
         may be right-padded to a length bucket (pad tokens are causally
         invisible to real ones and their cache slots are overwritten by
         decode, which starts at last_pos+1)."""
+        if self._stacked:
+            return self._prefill_impl_stacked(params, cache, input_ids, last_pos)
         cfg, ecfg = self.cfg, self.ecfg
         b, s = input_ids.shape
         x = params["embed"][input_ids].astype(ecfg.dtype)
@@ -340,6 +483,75 @@ class Engine:
         new_cache = {"layers": new_layers, "length": (last_pos + 1).astype(jnp.int32)}
         return logits, new_cache
 
+    def _prefill_impl_stacked(self, params, cache, input_ids, last_pos):
+        """One-shot prefill for stacked engines (accuracy track): same
+        write-then-read-back semantics as _prefill_impl, per-layer STATIC
+        views over the stacked weights/cache. Stacked eligibility guarantees
+        all-low-rank k/v."""
+        cfg, ecfg = self.cfg, self.ecfg
+        b, s = input_ids.shape
+        x = params["embed"][input_ids].astype(ecfg.dtype)
+        positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        cos, sin = llama.rope_cos_sin_for(cfg, positions)
+        nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        rk = cfg.uniform_rank_for(0, "k_proj")
+        rv = cfg.uniform_rank_for(0, "v_proj")
+        stack = cache["stack"]
+        zero_off = jnp.zeros((b,), jnp.int32)
+
+        for i in range(cfg.num_hidden_layers):
+            wl = jax.tree.map(lambda a: a[i], params["layers_stacked"])
+            attn = wl["attn"]
+            h = llama.rms_norm(x, wl["input_norm"], cfg.rms_norm_eps)
+
+            q = wdot(h, attn["q_proj"]["w"])
+            if attn["q_proj"].get("b") is not None:
+                q = q + attn["q_proj"]["b"]
+            q = q.reshape(b, s, nh, hd)
+            q = llama.apply_rope(q.astype(jnp.float32), cos, sin).astype(ecfg.dtype)
+
+            def write(side, lat):
+                return cache_lib.write_at_lanes_stacked(
+                    stack[side],
+                    cache_lib.stacked_squeeze(
+                        cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype,
+                                          ecfg.rank_major_fp),
+                        ecfg.qcfg,
+                    ),
+                    zero_off, i,
+                )
+
+            def read_back(side, rank):
+                view = cache_lib.stacked_unsqueeze(
+                    cache_lib.layer_view(stack[side], i), ecfg.qcfg)
+                return cache_lib.decode_latents(
+                    cache_lib.seq_slice(view, 0, s, dynamic=False),
+                    ecfg.qcfg, rank, ecfg.dtype,
+                ).transpose(0, 2, 1, 3)
+
+            stack = dict(stack)
+            stack["k"] = write("k", llama.project_kv(h, attn["k_proj"]).transpose(0, 2, 1, 3))
+            k = llama.reconstruct_kv(read_back("k", rk), attn["k_proj"]).reshape(
+                b, s, nkv, hd)
+            k = llama.apply_rope(k.astype(jnp.float32), cos, sin).astype(ecfg.dtype)
+            stack["v"] = write("v", llama.project_kv(h, attn["v_proj"]).transpose(0, 2, 1, 3))
+            v = llama.reconstruct_kv(read_back("v", rv), attn["v_proj"]).reshape(
+                b, s, nkv, hd)
+
+            attn_out = att_ops.mha_prefill(q, k, v, cfg.sliding_window)
+            x = x + wdot(attn_out, attn["o_proj"]["w"])
+
+            h2 = llama.rms_norm(x, wl["post_norm"], cfg.rms_norm_eps)
+            x = x + llama.mlp_forward(h2, wl["mlp"])
+
+        x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
+        x_last = jnp.take_along_axis(x, last_pos[:, None, None], axis=1)
+        logits = wdot(x_last, lm_head)
+        return logits, {
+            "stack": stack, "length": (last_pos + 1).astype(jnp.int32)
+        }
+
     # -- chunked prefill -----------------------------------------------------
 
     def _prefill_chunk_body(self, params, cache, ids_chunk, offset):
@@ -348,6 +560,8 @@ class Engine:
         not per chunk). Returns (hidden (B, s, H), new_cache). Requires
         all-low-rank k/v layers (always true for Palu-compressed models).
         Activation memory is O(chunk * decode_chunk)."""
+        if self._stacked:
+            return self._prefill_chunk_body_stacked(params, cache, ids_chunk, offset)
         cfg, ecfg = self.cfg, self.ecfg
         b, s = ids_chunk.shape
         x = params["embed"][ids_chunk].astype(ecfg.dtype)
@@ -417,6 +631,174 @@ class Engine:
 
         new_cache = {"layers": new_layers, "length": offset + s}
         return x, new_cache
+
+    def _prefill_chunk_body_stacked(self, params, cache, ids_chunk, offset):
+        """Stacked-engine prefill chunk: a Python loop over layers reads
+        per-layer STATIC views of the stacked weights/cache (XLA fuses the
+        slices into the consumers) and writes each chunk's latents directly
+        into the (L, ...) buffers, then runs the same fused Pallas prefill
+        attention as the per-layer engine."""
+        cfg, ecfg = self.cfg, self.ecfg
+        b, s = ids_chunk.shape
+        x = params["embed"][ids_chunk].astype(ecfg.dtype)
+        nh, hd = cfg.num_attention_heads, cfg.head_dim
+        positions = offset[:, None] + jnp.arange(s)[None, :]
+        cos, sin = llama.rope_cos_sin_for(cfg, positions)
+        stack = cache["stack"]
+        rk = cfg.uniform_rank_for(0, "k_proj")
+        rv = cfg.uniform_rank_for(0, "v_proj")
+
+        for i in range(cfg.num_hidden_layers):
+            wl = jax.tree.map(lambda a: a[i], params["layers_stacked"])
+            attn = wl["attn"]
+            h = llama.rms_norm(x, wl["input_norm"], cfg.rms_norm_eps)
+
+            q = wdot(h, attn["q_proj"]["w"])
+            if attn["q_proj"].get("b") is not None:
+                q = q + attn["q_proj"]["b"]
+            q = q.reshape(b, s, nh, hd)
+            q = llama.apply_rope(q.astype(jnp.float32), cos, sin).astype(ecfg.dtype)
+
+            lat_k = llama.project_kv(h, attn["k_proj"]).transpose(0, 2, 1, 3)
+            lat_v = llama.project_kv(h, attn["v_proj"]).transpose(0, 2, 1, 3)
+            stack = {
+                "k": cache_lib.write_at_lanes_stacked(
+                    stack["k"],
+                    cache_lib.stacked_squeeze(
+                        cache_lib._encode(lat_k, ecfg.qcfg, ecfg.dtype,
+                                          ecfg.rank_major_fp),
+                        ecfg.qcfg,
+                    ),
+                    offset, i,
+                ),
+                "v": cache_lib.write_at_lanes_stacked(
+                    stack["v"],
+                    cache_lib.stacked_squeeze(
+                        cache_lib._encode(lat_v, ecfg.qcfg, ecfg.dtype,
+                                          ecfg.rank_major_fp),
+                        ecfg.qcfg,
+                    ),
+                    offset, i,
+                ),
+            }
+            entry = {
+                "k": cache_lib.stacked_unsqueeze(
+                    cache_lib.layer_view(stack["k"], i), ecfg.qcfg),
+                "v": cache_lib.stacked_unsqueeze(
+                    cache_lib.layer_view(stack["v"], i), ecfg.qcfg),
+            }
+            attn_out = self._prefill_attn_pallas(
+                q, entry, attn, rk, rv, offset, offset + s
+            )
+            x = x + wdot(attn_out, attn["o_proj"]["w"])
+
+            h2 = llama.rms_norm(x, wl["post_norm"], cfg.rms_norm_eps)
+            x = x + llama.mlp_forward(h2, wl["mlp"])
+
+        return x, {"stack": stack, "length": offset + s}
+
+    def _decode_stacked_impl(self, params, cache, token_ids, active):
+        """One decode step through ONE scanned layer body: stacked weights
+        ride the scan's xs (sliced per iteration straight from HBM), the
+        stacked cache rides the CARRY (updated in place via
+        dynamic_update_slice; as xs/ys it would cost two full cache copies),
+        and the v4 kernel's scalar-prefetched layer index reads blocks
+        directly from the (L, ...) buffers. Same math as the per-layer
+        _decode_impl (differential test: tests/test_engine_stacked.py)."""
+        cfg, ecfg = self.cfg, self.ecfg
+        b = token_ids.shape[0]
+        pos = cache["length"]
+        writeable = jnp.logical_and(active, pos < ecfg.s_max)
+        pos_w = jnp.minimum(pos, ecfg.s_max - 1)
+        x = params["embed"][token_ids].astype(ecfg.dtype)  # (B, 1, H)
+        nh, hd = cfg.num_attention_heads, cfg.head_dim
+        cos, sin = llama.rope_cos_sin_for(cfg, pos[:, None])
+        kv_len = jnp.where(writeable, pos + 1, pos)
+        quantized = ecfg.qcfg is not None and ecfg.qcfg.enabled
+        rk = cfg.uniform_rank_for(0, "k_proj")
+        rv = cfg.uniform_rank_for(0, "v_proj")
+        block_s = self._pallas_block
+        from ..ops.pallas import palu_decode4 as pk4
+
+        def layer(carry, inp):
+            x, stack = carry
+            wl, b_k, li = inp
+            attn = wl["attn"]
+            h = llama.rms_norm(x, wl["input_norm"], cfg.rms_norm_eps)
+
+            q = wdot(h, attn["q_proj"]["w"])
+            if attn["q_proj"].get("b") is not None:
+                q = q + attn["q_proj"]["b"]
+            q = q.reshape(b, 1, nh, hd)
+            q = llama.apply_rope(q.astype(jnp.float32), cos, sin).astype(
+                ecfg.dtype
+            )[:, 0]
+
+            lat_k = llama.project_kv(h, attn["k_proj"]).transpose(0, 2, 1, 3)
+            lat_v = llama.project_kv(h, attn["v_proj"]).transpose(0, 2, 1, 3)
+            stack = {
+                "k": cache_lib.write_at_lanes_stacked(
+                    stack["k"],
+                    cache_lib.stacked_squeeze(
+                        cache_lib._encode(lat_k, ecfg.qcfg, ecfg.dtype,
+                                          ecfg.rank_major_fp),
+                        ecfg.qcfg,
+                    ),
+                    pos_w, li, writeable,
+                ),
+                "v": cache_lib.write_at_lanes_stacked(
+                    stack["v"],
+                    cache_lib.stacked_squeeze(
+                        cache_lib._encode(lat_v, ecfg.qcfg, ecfg.dtype,
+                                          ecfg.rank_major_fp),
+                        ecfg.qcfg,
+                    ),
+                    pos_w, li, writeable,
+                ),
+            }
+            kb, vb = stack["k"], stack["v"]
+            if not quantized:
+                lat_out = pk4.palu_flash_decode4(
+                    q, b_k, kb["lat_t"], vb["lat_t"], kv_len,
+                    rk=rk, rv=rv, block_s=block_s, theta=cfg.rope_theta,
+                    sliding_window=cfg.sliding_window,
+                    interpret=ecfg.pallas_interpret,
+                    inv_freq_static=self._inv_freq_static,
+                    rope_scale=self._rope_scale, layer_idx=li,
+                )
+            else:
+                zeros = {} if ecfg.qcfg.sym else {
+                    "xk_zero": kb["zero_t"], "xv_zero": vb["zero_t"],
+                }
+                lat_out = pk4.palu_flash_decode4_quantized(
+                    q, b_k, kb["codes_t"], kb["scale_t"],
+                    vb["codes_t"], vb["scale_t"], kv_len,
+                    qcfg=ecfg.qcfg, rk=rk, rv=rv, block_s=block_s,
+                    theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
+                    interpret=ecfg.pallas_interpret,
+                    inv_freq_static=self._inv_freq_static,
+                    rope_scale=self._rope_scale, layer_idx=li, **zeros,
+                )
+            lat_out = lat_out.astype(ecfg.dtype).reshape(b, nh * rv)
+            x = x + wdot(lat_out, attn["o_proj"]["w_fused"])[:, None, :]
+
+            h2 = llama.rms_norm(x, wl["post_norm"], cfg.rms_norm_eps)
+            x = x + llama.mlp_forward(h2, wl["mlp"])
+            return (x, stack), None
+
+        (x, stack), _ = jax.lax.scan(
+            layer,
+            (x, cache["stack"]),
+            (
+                params["layers_stacked"],
+                self._bk_stack,
+                jnp.arange(cfg.num_hidden_layers),
+            ),
+        )
+        x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
+        logits = wdot(x, lm_head)
+        return logits, {"stack": stack, "length": kv_len}
 
     def _lm_head_logits(self, params, x):
         x = llama.rms_norm(x, params["final_norm"], self.cfg.rms_norm_eps)
@@ -617,6 +999,8 @@ class Engine:
         serving lanes) and full lanes get a no-op write and a frozen length,
         so nothing is ever corrupted on-device and no host-side capacity
         guard (device->host sync in the hot loop) is needed."""
+        if self._stacked:
+            return self._decode_stacked_impl(params, cache, token_ids, active)
         cfg, ecfg = self.cfg, self.ecfg
         b = token_ids.shape[0]
         pos = cache["length"]  # (B,) per-lane lengths
@@ -969,6 +1353,10 @@ class Engine:
         """Prefill with a compile count independent of the prompt length:
         fixed-chunk streaming when every k/v layer is low-rank (always true
         for Palu-compressed models), else a padded power-of-two bucket."""
+        if self._stacked:  # stacked eligibility implies all-low-rank
+            return self.prefill_chunked(
+                input_ids, chunk_size=self._chunk, cache=cache
+            )
         all_lowrank = all(
             "VT" in l["attn"]["k_proj"] and "VT" in l["attn"]["v_proj"]
             for l in self.params["layers"]

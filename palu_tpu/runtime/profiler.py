@@ -44,6 +44,17 @@ def seed_cache_random(engine: Engine, prompt_len: int, seed: int = 0):
     seeds DynamicCache with randn latents, run_latency_attention.py:142-146)."""
     rng = np.random.default_rng(seed)
     cache = engine.init_cache()
+    if "stack" in cache:  # layer-stacked engine: leaves carry (L, ...)
+        return {
+            "stack": {
+                side: {k: _random_buf(rng, k, buf) for k, buf in bufs.items()}
+                for side, bufs in cache["stack"].items()
+            },
+            "length": jnp.full(
+                (engine.ecfg.batch,), min(prompt_len, engine.ecfg.s_max),
+                jnp.int32,
+            ),
+        }
     new_layers = []
     for entry in cache["layers"]:
         new_entry = {}

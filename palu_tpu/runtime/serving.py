@@ -256,6 +256,14 @@ class ServingEngine:
         fold_in(fold_in(seed, rid), step) so a request's stream is
         reproducible regardless of batch composition."""
         assert ecfg.batch >= 1
+        if ecfg.stacked_decode:
+            raise ValueError(
+                "ServingEngine does not run the layer-stacked decode yet "
+                "(lane insertion iterates per-layer cache entries)")
+        if ecfg.stacked_decode is None:
+            import dataclasses as _dc
+
+            ecfg = _dc.replace(ecfg, stacked_decode=False)
         self.prefill_chunks_per_step = prefill_chunks_per_step
         self._sampling: Dict[int, object] = {}  # rid -> SamplingParams
         self._samplers: Dict[object, object] = {}  # params -> jitted sampler
