@@ -142,6 +142,7 @@ def _make_kernel4(
     n_sc_v: int = 1,
     chunked: bool = False,
     seg_sum: bool = False,
+    k_bias: bool = False,
 ):
     """bits=None builds the fp (bf16 rank-major latents, no scales) variant;
     the cache refs then hold latent rows directly instead of packed codes,
@@ -159,7 +160,16 @@ def _make_kernel4(
     sub-row-granular scale cannot fold past the dots the way the per-row
     scale does).  Costs one extra multiply (+add if asym) per cache value;
     the asym zero needs no folded correction because it enters the
-    materialized operand directly."""
+    materialized operand directly.
+
+    k_bias=True adds PRE-RoPE per-(group, head) K biases (qwen2: K =
+    lat @ U + b, reference svd_qwen modeling, bias threaded through U per
+    svd_linear.py:76,179): since RoPE is linear, logit += q . R_{s-p} b_h,
+    which has exactly the asym-zero structure -- with the offset-rotated
+    query lanes a1/a2 it collapses to U_b @ cosb + V_b @ sinb where
+    U_b = per-head rows of (a1*b1 + a2*b2), V_b = rows of (a2*b1 - a1*b2):
+    two (hpg, half) x (half, BS) dots per group-block, independent of the
+    cache (so it adds AFTER the per-token scale fold)."""
     cdt = compute_dtype
     nh = g * hpg
     qoff = 2 ** (bits - 1) if (bits is not None and not asym) else 0
@@ -174,7 +184,10 @@ def _make_kernel4(
         if layer_stacked:
             _li_ref, *rest = rest  # consumed by the BlockSpec index maps
         (a1_ref, a2_ref, b1t_ref, b2t_ref, seg_ref,
-         cos_ref, sin_ref, xk_codes, xk_s, xv_codes, xv_s, *rest) = rest
+         cos_ref, sin_ref, *rest) = rest
+        if k_bias:
+            kb1_ref, kb2_ref, *rest = rest
+        xk_codes, xk_s, xv_codes, xv_s, *rest = rest
         if asym:
             xk_z, xv_z, *rest = rest
         if return_stats:
@@ -223,9 +236,9 @@ def _make_kernel4(
             if asym:
                 kz_rows = xk_z[...]  # zero-points (value units), same shape
                 vz_rows = xv_z[...]
-                if not chunked:
-                    cosb = cos_ref[0:half, :]  # untiled base tables, f32
-                    sinb = sin_ref[0:half, :]
+            if (asym and not chunked) or k_bias:
+                cosb = cos_ref[0:half, :]  # untiled base tables, f32
+                sinb = sin_ref[0:half, :]
 
             def dequant_rows(codes, scales, zeros, rank):
                 """Chunked in-VMEM dequant: codes (rank, BS) -> values (rank,
@@ -281,10 +294,24 @@ def _make_kernel4(
                     t = u * cos + v * sin
                 else:
                     t = (u * cos + v * sin).astype(cdt)
+                bcorr = None
+                if k_bias:
+                    # pre-RoPE K-bias logits (docstring): cache-independent,
+                    # added after the per-token scale fold
+                    kb1 = kb1_ref[:, gi : gi + 1].astype(jnp.float32)  # (W, 1)
+                    kb2 = kb2_ref[:, gi : gi + 1].astype(jnp.float32)
+                    ub = (a1 * kb1 + a2 * kb2).reshape(hpg, half)
+                    vb = (a2 * kb1 - a1 * kb2).reshape(hpg, half)
+                    bcorr = (
+                        jax.lax.dot_general(ub, cosb, (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(vb, sinb, (((1,), (0,)), ((), ())),
+                                              preferred_element_type=jnp.float32)
+                    )  # (hpg, BS)
                 if not asym or chunked:
                     # chunked asym needs no folded correction: the zero
                     # entered the dequantized operand before the dots
-                    return t, None
+                    return t, None, bcorr
                 # zero-term correction (docstring 4b): the per-token zero z adds
                 # z * (seg @ (cos*rowsum(bq1) + sin*rowsum(bq2))) to the logits;
                 # the tiled tables make that R1 @ cosb + R2 @ sinb
@@ -296,14 +323,14 @@ def _make_kernel4(
                     + jax.lax.dot_general(r2, sinb, (((1,), (0,)), ((), ())),
                                           preferred_element_type=jnp.float32)
                 )  # (hpg, BS)
-                return t, corr
+                return t, corr, bcorr
 
             # ---- K path: per-pair segment dot -> (2*hpg, BS), tile-aligned ----
             parts = []
             if pair:
                 for gj in range(0, g, 2):
-                    t_a, c_a = k_path(gj)
-                    t_b, c_b = k_path(gj + 1)
+                    t_a, c_a, b_a = k_path(gj)
+                    t_b, c_b, b_b = k_path(gj + 1)
                     t2 = jnp.concatenate([t_a, t_b], axis=0)
                     if seg_sum:
                         # per-head sublane reduction instead of the 0/1
@@ -318,11 +345,7 @@ def _make_kernel4(
                     else:
                         lg2 = jnp.dot(seg_ref[...].astype(cdt), t2,
                                       preferred_element_type=jnp.float32)  # (2hpg, BS)
-                    if bits is None or chunked:
-                        # fp latents / chunked pre-dot dequant: values are
-                        # already in latent units, nothing to fold back
-                        parts.append(lg2)
-                    else:
+                    if bits is not None and not chunked:
                         sc = jnp.concatenate(
                             [jnp.broadcast_to(ks_rows[gj + m : gj + m + 1, :],
                                               (hpg, block_s)) for m in range(2)],
@@ -334,10 +357,14 @@ def _make_kernel4(
                                                   (hpg, block_s)) for m in range(2)],
                                 axis=0)
                             lg2 = lg2 + jnp.concatenate([c_a, c_b], axis=0) * zc
-                        parts.append(lg2)
+                    # fp latents / chunked pre-dot dequant need no scale
+                    # fold; the cache-independent K-bias logits add last
+                    if k_bias:
+                        lg2 = lg2 + jnp.concatenate([b_a, b_b], axis=0)
+                    parts.append(lg2)
             else:
                 for gi in range(g):
-                    t_g, c_g = k_path(gi)
+                    t_g, c_g, b_g = k_path(gi)
                     if seg_sum:
                         lg = jnp.sum(
                             t_g.reshape(hpg, half, block_s), axis=1
@@ -349,6 +376,8 @@ def _make_kernel4(
                         lg = lg * ks_rows[gi : gi + 1, :]
                         if asym:
                             lg = lg + c_g * kz_rows[gi : gi + 1, :]
+                    if k_bias:
+                        lg = lg + b_g
                     parts.append(lg)
             logits = jnp.concatenate(parts, axis=0)  # (nh, BS); 1/sqrt(hd) in q
             logits = jnp.where(valid, logits, -1e30)
@@ -406,7 +435,7 @@ def _call4(
     *, bits, rk, rv, block_s, theta, sliding_window, interpret,
     compute_dtype, inv_freq_static, rope_scale, rot_dtype=jnp.float32,
     xk_zero=None, xv_zero=None, pos_offset=None, return_stats=False,
-    layer_idx=None, group_chunk=None, seg_sum=False,
+    layer_idx=None, group_chunk=None, seg_sum=False, k_bias=None,
 ):
     asym = xk_zero is not None
     stacked = layer_idx is not None
@@ -472,13 +501,20 @@ def _call4(
 
     seg = jnp.asarray(_seg_pair(hpg, half, np.float32))
 
+    if k_bias is not None:
+        # (G, hpg, hd) pre-RoPE K biases -> (W, g) lane layouts matching
+        # the a1/a2 query lanes (first/second rotation halves)
+        kb = jnp.asarray(k_bias, jnp.float32).reshape(g, hpg, 2, half)
+        kb1 = jnp.moveaxis(kb[:, :, 0, :].reshape(g, W), 0, 1)  # (W, g)
+        kb2 = jnp.moveaxis(kb[:, :, 1, :].reshape(g, W), 0, 1)
+
     kernel = _make_kernel4(
         block_s=block_s, g=g, hpg=hpg, half=half,
         sliding_window=sliding_window, bits=bits, rk=rk, rv=rv,
         compute_dtype=compute_dtype, rot_dtype=rot_dtype, asym=asym,
         return_stats=return_stats, layer_stacked=stacked,
         n_sc_k=nsk, n_sc_v=nsv, chunked=group_chunk is not None,
-        seg_sum=seg_sum,
+        seg_sum=seg_sum, k_bias=k_bias is not None,
     )
 
     grid = (b, nblk)
@@ -537,6 +573,11 @@ def _call4(
                 pl.BlockSpec((W, block_s), lambda bi, si, *_: (0, 0)),
                 pl.BlockSpec((W, block_s), lambda bi, si, *_: (0, 0)),
             ]
+            + (
+                [pl.BlockSpec((W, g), lambda bi, si, *_: (0, 0))] * 2
+                if k_bias is not None
+                else []
+            )
             + cache_specs
             + (zero_specs if asym else []),
             out_specs=(
@@ -567,6 +608,7 @@ def _call4(
         ),
         a1, a2, b1t, b2t, seg,
         jnp.asarray(cos_t), jnp.asarray(sin_t),
+        *((kb1, kb2) if k_bias is not None else ()),
         xk_rows, xk_scale.astype(jnp.float32),
         xv_rows, xv_scale.astype(jnp.float32),
         *(
@@ -620,6 +662,9 @@ def palu_flash_decode4_quantized(
     # chip sweep has it equal-or-faster at every block size / bit width /
     # zero-point config measured, docs/BENCH.md round-3; seg_sum=False
     # keeps the dot path as an A/B knob)
+    k_bias: Optional[jax.Array] = None,  # (G, hpg, hd) pre-RoPE K bias
+    # (qwen2); folded as cache-independent per-position logit corrections
+    # (_make_kernel4 docstring)
 ) -> jax.Array:
     """Decode attention over an affine-quantized rank-major latent cache
     -> (B, nh, rv) latent-space output.
@@ -653,7 +698,7 @@ def palu_flash_decode4_quantized(
         rope_scale=rope_scale, rot_dtype=rot_dtype,
         xk_zero=xk_zero, xv_zero=xv_zero,
         pos_offset=pos_offset, return_stats=return_stats,
-        layer_idx=layer_idx, seg_sum=seg_sum,
+        layer_idx=layer_idx, seg_sum=seg_sum, k_bias=k_bias,
     )
 
 
@@ -685,6 +730,7 @@ def palu_flash_decode4(
     layer_idx: Optional[jax.Array] = None,  # (L, ...)-stacked cache (see
     # palu_flash_decode4_quantized)
     seg_sum: bool = True,  # default ON (see palu_flash_decode4_quantized)
+    k_bias: Optional[jax.Array] = None,  # (G, hpg, hd) pre-RoPE K bias
 ) -> jax.Array:
     """Transposed-formulation decode over an UNQUANTIZED rank-major latent
     cache -> (B, nh, rv).  Same kernel as the quantized variant with the
@@ -701,5 +747,5 @@ def palu_flash_decode4(
         compute_dtype=compute_dtype, inv_freq_static=inv_freq_static,
         rope_scale=rope_scale, rot_dtype=rot_dtype,
         pos_offset=pos_offset, return_stats=return_stats,
-        layer_idx=layer_idx, seg_sum=seg_sum,
+        layer_idx=layer_idx, seg_sum=seg_sum, k_bias=k_bias,
     )

@@ -216,10 +216,22 @@ class Engine:
             reason = self._stacked_ineligible_reason()
             if reason:
                 raise ValueError(f"stacked params but ineligible config: {reason}")
-            self.derived = []
-            self._bk_stack = self._build_bk_stack(
-                np.asarray(self.params["layers_stacked"]["attn"]["k_proj"]["U"])
-            )
+            # rebuild per-layer derived (b_k, k_bias, o_bias_corr) from host
+            # slices of the stacked attn weights, then stack them back
+            st_attn = self.params["layers_stacked"]["attn"]
+            need = {"k_proj": st_attn["k_proj"], "v_proj": st_attn["v_proj"]}
+            if st_attn["v_proj"].get("b") is not None:
+                need["o_proj"] = {"w": st_attn["o_proj"]["w"]}
+            host = jax.tree.map(np.asarray, {"attn": need})
+            fake_layers = [
+                jax.tree.map(lambda a: a[i], host)
+                for i in range(cfg.num_hidden_layers)
+            ]
+            if "o_proj" not in need:
+                for fl in fake_layers:
+                    fl["attn"]["o_proj"] = {"w": None}
+            self.derived = self._build_derived(fake_layers)
+            self._build_derived_stacks()
         else:
             self.derived = self._build_derived()
             if ecfg.weight_bits == 8:
@@ -242,9 +254,7 @@ class Engine:
                     layers, owned=ecfg.weight_bits == 8
                 )
                 self.params = new_params
-                self._bk_stack = jnp.asarray(
-                    np.stack([np.asarray(d["b_k"]) for d in self.derived])
-                )
+                self._build_derived_stacks()
         self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(1,))
         self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1,))
 
@@ -258,8 +268,6 @@ class Engine:
             return "use_pallas is off"
         if ecfg.mesh is not None or ecfg.seq_axis is not None:
             return "mesh/seq_axis decode runs the per-layer shard_map paths"
-        if self._inv_freq_static is not None:
-            return "scaled-rope engines use the per-layer path"
         quantized = ecfg.qcfg is not None and ecfg.qcfg.enabled
         n = cfg.num_hidden_layers
         rks = {cfg.uniform_rank_for(i, "k_proj") for i in range(n)}
@@ -285,28 +293,41 @@ class Engine:
         for a in attns:
             if "VT" not in a["k_proj"] or "VT" not in a["v_proj"]:
                 return "dense k/v layer present"
-            if (a["k_proj"].get("b") is not None
-                    or a["v_proj"].get("b") is not None):
-                return "k/v projection bias (qwen2) uses the per-layer path"
+        # k/v biases (qwen2) are supported -- the v4 kernel folds the
+        # pre-RoPE k-bias and the v-bias is a constant o_bias_corr -- but
+        # must be present in either all layers or none (homogeneous xs)
+        for key in ("k_proj", "v_proj"):
+            has = {a[key].get("b") is not None for a in attns}
+            if len(has) > 1:
+                return f"{key} bias present in only some layers"
         return None
 
-    def _build_bk_stack(self, u_all: np.ndarray) -> jax.Array:
-        """(L, G, rk, group_dim) stacked U_k -> (L, G, hpg, rk, hd) stacked
-        per-q-head reconstruction matrices for the scanned decode's xs."""
-        bks = [
-            build_decode_b(u_all[i].astype(np.float32), self.cfg).astype(
-                self.ecfg.dtype
-            )
-            for i in range(u_all.shape[0])
-        ]
-        return jnp.asarray(np.stack(bks))
+    def _build_derived_stacks(self) -> None:
+        """Stack the per-layer derived decode weights for the scanned
+        stacked decode's xs: b_k always; k_bias / o_bias_corr (qwen2) when
+        present (stacked eligibility guarantees all-or-none)."""
+        self._bk_stack = jnp.asarray(
+            np.stack([np.asarray(d["b_k"]) for d in self.derived])
+        )
+        self._kbias_stack = (
+            jnp.stack([jnp.asarray(d["k_bias"]) for d in self.derived])
+            if all("k_bias" in d for d in self.derived)
+            else None
+        )
+        self._ocorr_stack = (
+            jnp.stack([jnp.asarray(d["o_bias_corr"]) for d in self.derived])
+            if all("o_bias_corr" in d for d in self.derived)
+            else None
+        )
 
-    def _build_derived(self):
+    def _build_derived(self, layers=None):
         cfg = self.cfg
         nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
         rep = nh // nkv
         derived = []
-        for i, layer in enumerate(self.params["layers"]):
+        if layers is None:
+            layers = self.params["layers"]
+        for i, layer in enumerate(layers):
             attn = layer["attn"]
             entry = {}
             if "VT" in attn["k_proj"]:
@@ -722,7 +743,7 @@ class Engine:
 
         def layer(carry, inp):
             x, stack = carry
-            wl, b_k, li = inp
+            wl, b_k, li = inp["w"], inp["b_k"], inp["li"]
             attn = wl["attn"]
             h = llama.rms_norm(x, wl["input_norm"], cfg.rms_norm_eps)
 
@@ -757,6 +778,7 @@ class Engine:
                 ),
             }
             kb, vb = stack["k"], stack["v"]
+            k_bias = inp.get("k_bias")
             if not quantized:
                 lat_out = pk4.palu_flash_decode4(
                     q, b_k, kb["lat_t"], vb["lat_t"], kv_len,
@@ -764,7 +786,7 @@ class Engine:
                     sliding_window=cfg.sliding_window,
                     interpret=ecfg.pallas_interpret,
                     inv_freq_static=self._inv_freq_static,
-                    rope_scale=self._rope_scale, layer_idx=li,
+                    rope_scale=self._rope_scale, layer_idx=li, k_bias=k_bias,
                 )
             else:
                 zeros = {} if ecfg.qcfg.sym else {
@@ -777,24 +799,29 @@ class Engine:
                     theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
                     interpret=ecfg.pallas_interpret,
                     inv_freq_static=self._inv_freq_static,
-                    rope_scale=self._rope_scale, layer_idx=li, **zeros,
+                    rope_scale=self._rope_scale, layer_idx=li,
+                    k_bias=k_bias, **zeros,
                 )
             lat_out = lat_out.astype(ecfg.dtype).reshape(b, nh * rv)
-            x = x + wdot(lat_out, attn["o_proj"]["w_fused"])[:, None, :]
+            out = wdot(lat_out, attn["o_proj"]["w_fused"])
+            if "o_corr" in inp:
+                out = out + inp["o_corr"]
+            x = x + out[:, None, :]
 
             h2 = llama.rms_norm(x, wl["post_norm"], cfg.rms_norm_eps)
             x = x + llama.mlp_forward(h2, wl["mlp"])
             return (x, stack), None
 
-        (x, stack), _ = jax.lax.scan(
-            layer,
-            (x, cache["stack"]),
-            (
-                params["layers_stacked"],
-                self._bk_stack,
-                jnp.arange(cfg.num_hidden_layers),
-            ),
-        )
+        xs = {
+            "w": params["layers_stacked"],
+            "b_k": self._bk_stack,
+            "li": jnp.arange(cfg.num_hidden_layers),
+        }
+        if self._kbias_stack is not None:
+            xs["k_bias"] = self._kbias_stack
+        if self._ocorr_stack is not None:
+            xs["o_corr"] = self._ocorr_stack
+        (x, stack), _ = jax.lax.scan(layer, (x, cache["stack"]), xs)
         x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
         logits = wdot(x, lm_head)
@@ -1151,14 +1178,16 @@ class Engine:
             and "codes_t" in entry["k"]
             and "codes_t" in entry["v"]
         )
+        # v4 paths (rank-major packed / rank-major fp) fuse static-scaled
+        # rope tables AND the qwen2 pre-RoPE k-bias (cache-independent
+        # logit corrections, palu_decode4._make_kernel4 docstring); only
+        # the v1 seq-major fp kernel lacks the bias fold.
+        v4_dispatch = rm or rm_chunked or (not quantized and ecfg.rank_major_fp)
         if (
             ecfg.use_pallas
-            and "k_bias" not in der
-            and self._inv_freq_static is None
             and (not quantized or rm or rm_chunked)
+            and ("k_bias" not in der or v4_dispatch)
         ):
-            # Models with k-projection bias (qwen2) and scaled-rope models
-            # use the XLA path below.
             from ..ops.pallas import palu_decode as pk
             from ..ops.pallas import palu_decode4 as pk4
 
@@ -1169,8 +1198,9 @@ class Engine:
             # v2 remains only as a benchmark comparison point.
             use_v4 = rm or rm_chunked
             block_s = self._pallas_block
+            k_bias = der.get("k_bias")
 
-            def kernel_call(q_, b_k_, k_bufs, v_bufs, kv_len_):
+            def kernel_call(q_, b_k_, k_bufs, v_bufs, kv_len_, k_bias_=None):
                 if ecfg.rank_major_fp and not quantized:
                     return pk4.palu_flash_decode4(
                         q_, b_k_, k_bufs["lat_t"], v_bufs["lat_t"], kv_len_,
@@ -1178,7 +1208,7 @@ class Engine:
                         theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
                         interpret=ecfg.pallas_interpret,
                         inv_freq_static=self._inv_freq_static,
-                        rope_scale=self._rope_scale,
+                        rope_scale=self._rope_scale, k_bias=k_bias_,
                     )
                 if use_v4:
                     g_ = k_bufs["scale_t"].shape[1]
@@ -1208,7 +1238,7 @@ class Engine:
                         theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
                         interpret=ecfg.pallas_interpret,
                         inv_freq_static=self._inv_freq_static,
-                        rope_scale=self._rope_scale,
+                        rope_scale=self._rope_scale, k_bias=k_bias_,
                         **zeros,
                     )
                 return pk.palu_flash_decode(
@@ -1233,6 +1263,8 @@ class Engine:
                 buf_spec_v = jax.tree.map(
                     lambda _: P("data", "model", None, None), entry["v"]
                 )
+                extra = () if k_bias is None else (k_bias,)
+                extra_specs = () if k_bias is None else (P("model", None, None),)
                 lat_out = shard_map_nocheck(
                     kernel_call,
                     mesh=ecfg.mesh,
@@ -1242,12 +1274,13 @@ class Engine:
                         buf_spec_k,
                         buf_spec_v,
                         P("data"),
-                    ),
+                    ) + extra_specs,
                     out_specs=P("data", "model", None),
                 )(q, der["b_k"], entry["k"], entry["v"],
-                  jnp.broadcast_to(kv_len, (b,)))
+                  jnp.broadcast_to(kv_len, (b,)), *extra)
             else:
-                lat_out = kernel_call(q, der["b_k"], entry["k"], entry["v"], kv_len)
+                lat_out = kernel_call(q, der["b_k"], entry["k"], entry["v"],
+                                      kv_len, k_bias)
             lat_out = lat_out.astype(ecfg.dtype).reshape(b, nh * rv)
             out = wdot(lat_out, attn["o_proj"]["w_fused"])
             if "o_bias_corr" in der:

@@ -175,3 +175,49 @@ def test_stacked_profiler_chained():
     res = profiler.profile_tpot_chained(stacked, 8, n_steps=3, k_calls=2,
                                         reps=1)
     assert np.isfinite(res["tpot_ms"]) and res["tpot_ms"] > 0
+
+
+def test_stacked_qwen2_bias_matches_unrolled():
+    """qwen2 k/v biases auto-stack (homogeneous across layers): the scanned
+    body passes the stacked k_bias into the kernel and adds the stacked
+    o_bias_corr after the fused o_proj."""
+    from test_engine import _qwen2_bias_model
+
+    lr_params, lr_cfg = _qwen2_bias_model(seed=41)
+    qcfg = QuantConfig(bits=4, group_size=0, sym=False)
+    unrolled, stacked = _engine_pair(lr_params, lr_cfg, qcfg=qcfg)
+    assert stacked._kbias_stack is not None
+    assert stacked._ocorr_stack is not None
+    ids = np.random.default_rng(41).integers(0, lr_cfg.vocab_size, (1, 12))
+    ref, got = _run_pair(unrolled, stacked, ids)
+    assert np.allclose(ref, got, atol=5e-4), np.abs(ref - got).max()
+
+
+def test_stacked_qwen2_prestacked_rebuild():
+    """Engine rebuilt from a stacked qwen2 engine's params re-derives the
+    k_bias / o_bias_corr stacks from the stacked weights themselves."""
+    from test_engine import _qwen2_bias_model
+
+    lr_params, lr_cfg = _qwen2_bias_model(seed=43)
+    qcfg = QuantConfig(bits=4, group_size=0, sym=True)
+    _, stacked = _engine_pair(lr_params, lr_cfg, qcfg=qcfg)
+    again = Engine(stacked.params, stacked.cfg, stacked.ecfg)
+    assert again._kbias_stack is not None and again._ocorr_stack is not None
+    ids = np.random.default_rng(43).integers(0, lr_cfg.vocab_size, (1, 10))
+    ref, got = _run_pair(stacked, again, ids, n_decode=3)
+    assert np.allclose(ref, got, atol=1e-5), np.abs(ref - got).max()
+
+
+def test_stacked_scaled_rope_matches_unrolled():
+    import dataclasses as dc
+
+    from test_engine import _lowrank_model as _lm
+
+    params, cfg = _lm(seed=45, rank=16, gs=2)
+    cfg = dc.replace(cfg, rope_scaling={"rope_type": "linear", "factor": 2.0})
+    qcfg = QuantConfig(bits=3, group_size=0, sym=True)
+    unrolled, stacked = _engine_pair(params, cfg, qcfg=qcfg)
+    assert stacked._inv_freq_static is not None
+    ids = np.random.default_rng(45).integers(0, cfg.vocab_size, (1, 12))
+    ref, got = _run_pair(unrolled, stacked, ids)
+    assert np.allclose(ref, got, atol=2e-4), np.abs(ref - got).max()

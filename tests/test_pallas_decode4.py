@@ -30,7 +30,7 @@ def _setup(b=1, g=2, hpg=4, rk=32, rv=64, hd=128, s_max=256, kv_len=200, seed=0)
 
 
 def _xla_reference(q, b_k, x_k, x_v, kv_len, chunk=64, sliding_window=None,
-                   theta=10000.0, inv_freq=None, rope_scale=1.0):
+                   theta=10000.0, inv_freq=None, rope_scale=1.0, k_bias=None):
     s_max = x_k.shape[2]
     return att_ops.flash_decode_latent(
         q,
@@ -44,6 +44,7 @@ def _xla_reference(q, b_k, x_k, x_v, kv_len, chunk=64, sliding_window=None,
         theta,
         x_v.shape[-1],
         sliding_window,
+        k_bias=k_bias,
         inv_freq=inv_freq,
         rope_scale=rope_scale,
     )
@@ -314,3 +315,112 @@ def test_v4_seg_sum_fp_and_odd_groups():
                            compute_dtype=jnp.float32, seg_sum=True)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-5,
                                atol=2e-5)
+
+
+def _rand_bias(g=2, hpg=4, hd=128, seed=9):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal((g, hpg, hd)).astype(np.float32) * 0.3)
+
+
+@pytest.mark.parametrize("bits,sym", [(4, True), (3, False), (2, True)])
+@pytest.mark.parametrize("kv_len", [200, 1])
+def test_v4_k_bias_matches_dequant_xla(bits, sym, kv_len):
+    """Pre-RoPE K bias (qwen2) folded as cache-independent logit
+    corrections (U_b @ cosb + V_b @ sinb) == the XLA reference that adds
+    the bias to the reconstructed K before RoPE."""
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=kv_len, seed=17)
+    kb = _rand_bias()
+    out, x_k_dq, x_v_dq = _quantize_and_run(
+        q, b_k, x_k, x_v, kvl, bits, 32, 64, sym=sym, k_bias=kb)
+    ref = np.asarray(_xla_reference(q, b_k, x_k_dq, x_v_dq, kvl, k_bias=kb))
+    assert np.allclose(out, ref, atol=3e-3, rtol=1e-3), np.abs(out - ref).max()
+
+
+def test_v4_k_bias_fp_chunked_window_and_segdot():
+    """k_bias composes with: fp latents, per-chunk scales, sliding window,
+    the 0/1 segment-dot path (seg_sum=False), and odd group counts."""
+    from palu_tpu.ops.pallas.palu_decode4 import palu_flash_decode4
+
+    kb3 = _rand_bias(g=3)
+    q, b_k, x_k, x_v, kvl = _setup(g=3, kv_len=150, seed=18)
+    t = lambda a: jnp.swapaxes(a, 2, 3)
+    out = palu_flash_decode4(q, b_k, t(x_k), t(x_v), kvl, rk=32, rv=64,
+                             block_s=64, interpret=True,
+                             compute_dtype=jnp.float32, k_bias=kb3,
+                             sliding_window=80)
+    ref = _xla_reference(q, b_k, x_k, x_v, kvl, k_bias=kb3, sliding_window=80)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=3e-3,
+                       rtol=1e-3), np.abs(np.asarray(out) - np.asarray(ref)).max()
+
+    kb = _rand_bias()
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=200, seed=19)
+    qc = QuantConfig(bits=4, group_size=8, sym=False)
+    kc, ks, kz = quant_mod.quantize_affine(x_k, qc)
+    vc, vs, vz = quant_mod.quantize_affine(x_v, qc)
+    x_k_dq = kc.astype(jnp.float32) * jnp.repeat(ks, 8, -1) + jnp.repeat(kz, 8, -1)
+    x_v_dq = vc.astype(jnp.float32) * jnp.repeat(vs, 8, -1) + jnp.repeat(vz, 8, -1)
+    out = palu_flash_decode4_quantized(
+        q, b_k, quant_mod.pack_codes_t(kc, 4), jnp.swapaxes(ks, -1, -2),
+        quant_mod.pack_codes_t(vc, 4), jnp.swapaxes(vs, -1, -2), kvl,
+        qcfg=qc, rk=32, rv=64, block_s=64, interpret=True,
+        compute_dtype=jnp.float32, k_bias=kb,
+        xk_zero=jnp.swapaxes(kz, -1, -2), xv_zero=jnp.swapaxes(vz, -1, -2))
+    ref = _xla_reference(q, b_k, x_k_dq, x_v_dq, kvl, k_bias=kb)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=3e-3,
+                       rtol=1e-3), np.abs(np.asarray(out) - np.asarray(ref)).max()
+
+    out_dot, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, 4, 32, 64,
+                                      sym=True, k_bias=kb, seg_sum=False)
+    out_sum, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, 4, 32, 64,
+                                      sym=True, k_bias=kb, seg_sum=True)
+    np.testing.assert_allclose(out_sum, out_dot, rtol=2e-5, atol=2e-5)
+
+
+def test_v4_k_bias_rope_scaled_and_stacked():
+    """k_bias composes with static rope scaling and layer_idx stacking."""
+    from palu_tpu.models import rope as rope_mod
+    from palu_tpu.models.config import ModelConfig
+
+    kb = _rand_bias(seed=20)
+    cfg = ModelConfig(rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                                    "low_freq_factor": 1.0,
+                                    "high_freq_factor": 4.0,
+                                    "original_max_position_embeddings": 128},
+                      num_attention_heads=8, num_key_value_heads=8,
+                      hidden_size=1024)
+    inv_freq, scale = rope_mod.inv_freq_and_scale(cfg)
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=180, seed=21)
+    out, x_k_dq, x_v_dq = _quantize_and_run(
+        q, b_k, x_k, x_v, kvl, 3, 32, 64, sym=True, k_bias=kb,
+        inv_freq_static=tuple(float(f) for f in inv_freq),
+        rope_scale=float(scale))
+    ref = _xla_reference(q, b_k, x_k_dq, x_v_dq, kvl, k_bias=kb,
+                         inv_freq=inv_freq, rope_scale=scale)
+    assert np.allclose(out, np.asarray(ref), atol=3e-3, rtol=1e-3)
+
+    # stacked: 2 layers, layer_idx selects; kernel bias identical per layer
+    qc = QuantConfig(bits=4, group_size=0, sym=True)
+    stacked = {k: [] for k in ("kc", "ks", "vc", "vs")}
+    per_layer = []
+    for li in range(2):
+        q2, b_k2, x_k2, x_v2, kvl2 = _setup(kv_len=190, seed=30 + li)
+        kc, ks, _ = quant_mod.quantize_affine(x_k2, qc)
+        vc, vs, _ = quant_mod.quantize_affine(x_v2, qc)
+        args = (quant_mod.pack_codes_t(kc, 4), ks[..., 0],
+                quant_mod.pack_codes_t(vc, 4), vs[..., 0])
+        per_layer.append((q2, b_k2, args, kvl2))
+        for k, v in zip(("kc", "ks", "vc", "vs"), args):
+            stacked[k].append(v)
+    st = {k: jnp.stack(v) for k, v in stacked.items()}
+    for li in range(2):
+        q2, b_k2, args, kvl2 = per_layer[li]
+        want = palu_flash_decode4_quantized(
+            q2, b_k2, *args, kvl2, qcfg=qc, rk=32, rv=64, block_s=64,
+            interpret=True, compute_dtype=jnp.float32, k_bias=kb)
+        got = palu_flash_decode4_quantized(
+            q2, b_k2, st["kc"], st["ks"], st["vc"], st["vs"], kvl2,
+            qcfg=qc, rk=32, rv=64, block_s=64, interpret=True,
+            compute_dtype=jnp.float32, k_bias=kb,
+            layer_idx=jnp.asarray(li, jnp.int32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
