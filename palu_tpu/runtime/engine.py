@@ -67,15 +67,19 @@ class EngineConfig:
     # scales (core/wquant) -- halves weight HBM and weight-read time per
     # decode step; the low-rank VT/U factors stay in `dtype`
     weight_bits: int = 16
-    # None = auto: stack per-layer weights and cache buffers on a leading
-    # (L, ...) axis and decode through ONE lax.scan layer body whose v4
-    # kernel selects the layer via a scalar-prefetched index -- the HLO has
-    # one layer body instead of L copies and no per-layer cache slice
-    # (47.9 -> 34.7 ms/step at true-32-layer 7B/64K, docs/BENCH.md).
-    # Auto requires: use_pallas, no mesh/seq_axis, all layers low-rank with
-    # uniform ranks, no k/v-projection biases, default rope schedule, and a
-    # rank-major cache (packed quantized or rank_major_fp). True forces it
-    # (raises when ineligible); False keeps the unrolled per-layer decode.
+    # Stack per-layer weights and cache buffers on a leading (L, ...) axis
+    # and decode through ONE lax.scan layer body whose v4 kernel selects
+    # the layer via a scalar-prefetched index (no per-layer cache slice).
+    # Requires: use_pallas, no mesh/seq_axis, all layers low-rank with
+    # uniform ranks, homogeneous biases, and a rank-major cache (packed
+    # quantized or rank_major_fp). True forces it (raises when
+    # ineligible). None currently resolves to FALSE: on chip the stacked
+    # KERNEL is slightly faster (710 vs 772 us/layer at 3-bit/64K,
+    # tools/tpu_stacked_kernel_ab.py) but the scan body loses the
+    # cross-layer pipelining the unrolled HLO gets, measuring 41.2 vs
+    # 35.3 ms/step at true-32-layer 7B (docs/BENCH.md round-4); the
+    # unrolled per-layer decode is the production default until that scan
+    # overhead is closed.
     stacked_decode: Optional[bool] = None
 
 
@@ -241,10 +245,9 @@ class Engine:
             reason = self._stacked_ineligible_reason()
             if ecfg.stacked_decode is True and reason:
                 raise ValueError(f"stacked_decode unavailable: {reason}")
-            self._stacked = (
-                ecfg.stacked_decode if ecfg.stacked_decode is not None
-                else reason is None
-            )
+            # None -> False: unrolled decode is currently faster on chip
+            # (see EngineConfig.stacked_decode)
+            self._stacked = bool(ecfg.stacked_decode)
             if self._stacked:
                 new_params = dict(self.params)
                 layers = new_params.pop("layers")

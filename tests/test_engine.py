@@ -314,10 +314,7 @@ def test_engine_pallas_group_quant_fused(bits, sym):
                                              qcfg=qcfg, decode_chunk=8,
                                              use_pallas=True,
                                              pallas_interpret=True))
-    cache = e_pal.init_cache()
-    # group-quant rank-major engines auto-stack (one scanned layer body)
-    assert e_pal._stacked and "stack" in cache
-    buf = cache["stack"]["k"]  # leaves carry a leading (L,) axis
+    buf = e_pal.init_cache()["layers"][0]["k"]
     assert "codes_t" in buf and buf["scale_t"].shape[-2] == 16 // 8
     if not sym:
         assert buf["zero_t"].shape == buf["scale_t"].shape

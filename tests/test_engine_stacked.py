@@ -131,20 +131,23 @@ def test_stacked_weight_bits8_matches_unrolled_int8():
     assert np.allclose(ref, got, atol=2e-4), np.abs(ref - got).max()
 
 
-def test_stacked_auto_eligibility():
+def test_stacked_eligibility_and_default():
     params, cfg = _lowrank_model(rank=16, gs=2)
     rm = QuantConfig(bits=3, group_size=0, sym=True)
     base = dict(s_max=32, dtype=jnp.float32, decode_chunk=8,
                 pallas_interpret=True)
-    # auto ON: pallas + rank-major quantized
+    # default (None) resolves to the unrolled decode (faster on chip,
+    # EngineConfig.stacked_decode) but the config IS eligible
     eng = Engine(params, cfg, EngineConfig(**base, use_pallas=True, qcfg=rm))
+    assert not eng._stacked
+    assert eng._stacked_ineligible_reason() is None
+    # forcing it on an eligible config works
+    eng = Engine(params, cfg, EngineConfig(**base, use_pallas=True, qcfg=rm,
+                                           stacked_decode=True))
     assert eng._stacked
-    # auto OFF: no pallas
+    # ineligible: no pallas / seq-major fp cache
     eng = Engine(params, cfg, EngineConfig(**base, use_pallas=False, qcfg=rm))
-    assert not eng._stacked
-    # auto OFF: seq-major fp cache
-    eng = Engine(params, cfg, EngineConfig(**base, use_pallas=True))
-    assert not eng._stacked
+    assert eng._stacked_ineligible_reason() is not None
     # forcing it for an ineligible config raises with the reason
     with pytest.raises(ValueError, match="rank_major_fp"):
         Engine(params, cfg,

@@ -191,3 +191,63 @@ def test_serving_per_request_sampling_reproducible():
     g1 = seq.generate(prompts[20], max_new_tokens=6, sampling=sp, seed=5)
     g2 = seq.generate(prompts[20], max_new_tokens=6, sampling=sp, seed=5)
     np.testing.assert_array_equal(g1, g2)
+
+
+def test_sample_batched_matches_per_row_sample():
+    """The fused batched sampler must reproduce `sample` row by row under
+    the same key, for every (temperature, top_k, top_p) mix -- this is what
+    guarantees continuous batching never changes a request's stream."""
+    from palu_tpu.runtime.sampling import SamplingParams, sample, sample_batched
+
+    rng = np.random.default_rng(0)
+    V = 50
+    logits = jnp.asarray(rng.standard_normal((4, V)).astype(np.float32) * 3)
+    lane_params = [
+        SamplingParams(temperature=0.0),              # greedy
+        SamplingParams(temperature=1.0, top_k=8),
+        SamplingParams(temperature=0.7, top_p=0.9),
+        SamplingParams(temperature=1.3, top_k=12, top_p=0.8),
+    ]
+    base = jax.random.key(123)
+    keys = jnp.stack([jax.random.fold_in(base, i) for i in range(4)])
+    got = np.asarray(sample_batched(
+        logits,
+        jnp.asarray([p.temperature for p in lane_params], jnp.float32),
+        jnp.asarray([p.top_k for p in lane_params], jnp.int32),
+        jnp.asarray([p.top_p for p in lane_params], jnp.float32),
+        keys,
+    ))
+    for i, p in enumerate(lane_params):
+        want = np.asarray(
+            sample(logits[i : i + 1], p,
+                   key=None if p.temperature <= 0 else keys[i]))[0]
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_serving_batched_sampler_no_per_step_host_fetch():
+    """The decode hot loop must not fall back to per-request host-side
+    sampling: _pick_token is reserved for prefill first tokens; decode
+    steps go through the fused _sample_step."""
+    from palu_tpu.runtime.sampling import SamplingParams
+
+    params, cfg = _model()
+    sp = SamplingParams(temperature=1.0, top_k=8)
+    rng = np.random.default_rng(9)
+    ecfg = EngineConfig(s_max=32, batch=2, dtype=jnp.float32, decode_chunk=8)
+    srv = ServingEngine(params, cfg, ecfg, prefer_native=False,
+                        sampling_seed=7)
+    calls = {"pick": 0}
+    orig = srv._pick_token
+
+    def spy(rid, row):
+        calls["pick"] += 1
+        return orig(rid, row)
+
+    srv._pick_token = spy
+    assert srv.submit(30, rng.integers(1, cfg.vocab_size, (1, 6)), 5,
+                      sampling=sp)
+    assert srv.submit(31, rng.integers(1, cfg.vocab_size, (1, 4)), 5)
+    out = srv.run_until_done(max_steps=100)
+    assert len(out[30]) == 5 and len(out[31]) == 5
+    # one _pick_token per request (the prefill first token), none per step
+    assert calls["pick"] == 2, calls
