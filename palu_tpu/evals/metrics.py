@@ -111,6 +111,13 @@ def code_sim_score(prediction, ground_truth, **kwargs) -> float:
 
 
 def classification_score(prediction, ground_truth, **kwargs) -> float:
+    """PROTOCOL PARITY NOTE: the reference guards its difflib fallback with
+    `if em_match_list != 0:` (longbench_utils/metrics.py:97) -- a list never
+    equals 0, so the branch is ALWAYS taken and the fallback is dead code
+    (same in upstream THUDM/LongBench). A prediction matching no class
+    therefore scores 0.0. We reproduce that exactly (an earlier revision
+    'fixed' it by running the fallback on an empty match list, which changed
+    trec/lsht scores vs the published protocol; docs/PARITY.md)."""
     em_match_list = []
     all_classes = kwargs["all_classes"]
     for class_name in all_classes:
@@ -119,16 +126,9 @@ def classification_score(prediction, ground_truth, **kwargs) -> float:
     for match_term in list(em_match_list):
         if match_term in ground_truth and match_term != ground_truth:
             em_match_list.remove(match_term)
-    if em_match_list:
-        return 1.0 / len(em_match_list) if ground_truth in em_match_list else 0.0
-    best_match = None
-    highest = 0.0
-    for cand in all_classes:
-        sim = difflib.SequenceMatcher(None, cand, prediction).ratio()
-        if sim > highest:
-            highest = sim
-            best_match = cand
-    return float(best_match == ground_truth)
+    if not em_match_list:
+        return 0.0  # `ground_truth in []` on the reference's always-true path
+    return 1.0 / len(em_match_list) if ground_truth in em_match_list else 0.0
 
 
 def rouge_score(prediction, ground_truth, **kwargs) -> float:

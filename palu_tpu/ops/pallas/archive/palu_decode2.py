@@ -52,8 +52,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...core.quant import QuantConfig, packed_nrows
-from .palu_decode import split_b_halves, _q_blockdiag, _rope_tables
+from ....core.quant import QuantConfig, packed_nrows
+from ..palu_decode import split_b_halves, _q_blockdiag, _rope_tables
 
 __all__ = ["palu_flash_decode2", "palu_flash_decode2_quantized"]
 

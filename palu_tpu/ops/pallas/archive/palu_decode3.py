@@ -54,8 +54,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...core.quant import QuantConfig, packed_nrows
-from .palu_decode import split_b_halves, _q_blockdiag
+from ....core.quant import QuantConfig, packed_nrows
+from ..palu_decode import split_b_halves, _q_blockdiag
 
 __all__ = ["palu_flash_decode3_quantized"]
 

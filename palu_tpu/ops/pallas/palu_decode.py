@@ -150,7 +150,7 @@ def _make_decode_kernel(
     quantized = qcfg is not None and qcfg.enabled
     if inv_freq_static is not None:
         raise NotImplementedError(
-            "v1 kernel does not take scaled-rope tables; use palu_decode2 "
+            "v1 kernel does not take scaled-rope tables; use palu_decode4 "
             "or the XLA decode path"
         )
     cdt = compute_dtype
@@ -286,7 +286,7 @@ def _make_decode_kernel_merged(
     quantized = qcfg is not None and qcfg.enabled
     if inv_freq_static is not None:
         raise NotImplementedError(
-            "v1 kernel does not take scaled-rope tables; use palu_decode2 "
+            "v1 kernel does not take scaled-rope tables; use palu_decode4 "
             "or the XLA decode path"
         )
     cdt = compute_dtype

@@ -41,10 +41,19 @@ def test_classification():
         "This is about Location", "Location", all_classes=["Location", "Person"]
     )
     assert s == 1.0
+    # no class matched -> 0.0: the reference's difflib fallback is DEAD
+    # (`if em_match_list != 0:` is always true for a list,
+    # /root/reference/longbench_utils/metrics.py:97); we pin its actual
+    # behavior, not the apparent intent (docs/PARITY.md)
     s = metrics.classification_score(
         "totally unrelated", "Person", all_classes=["Location", "Person"]
     )
-    assert s in (0.0, 1.0)
+    assert s == 0.0
+    # a prediction naming several classes splits credit (1/len)
+    s = metrics.classification_score(
+        "Location or Person", "Person", all_classes=["Location", "Person"]
+    )
+    assert s == 0.5
 
 
 def test_rouge_and_code_sim():

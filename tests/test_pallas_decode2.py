@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from palu_tpu.core.quant import QuantConfig
 from palu_tpu.core import quant as quant_mod
 from palu_tpu.ops import attention as att_ops
-from palu_tpu.ops.pallas.palu_decode2 import (
+from palu_tpu.ops.pallas.archive.palu_decode2 import (
     palu_flash_decode2,
     palu_flash_decode2_quantized,
 )

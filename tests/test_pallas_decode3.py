@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from palu_tpu.core import quant as quant_mod
 from palu_tpu.core.quant import QuantConfig
 from palu_tpu.ops import attention as att_ops
-from palu_tpu.ops.pallas.palu_decode3 import palu_flash_decode3_quantized, sz_pack
+from palu_tpu.ops.pallas.archive.palu_decode3 import palu_flash_decode3_quantized, sz_pack
 
 
 def _setup(b=1, g=2, hpg=4, rk=32, rv=64, hd=128, s_max=256, kv_len=200, seed=0):

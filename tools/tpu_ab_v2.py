@@ -23,8 +23,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 from palu_tpu.core import quant as qm
 from palu_tpu.core.quant import QuantConfig
 from palu_tpu.ops.pallas.palu_decode import palu_flash_decode, palu_flash_decode_quantized
-from palu_tpu.ops.pallas.palu_decode2 import palu_flash_decode2, palu_flash_decode2_quantized
-from palu_tpu.ops.pallas.palu_decode3 import palu_flash_decode3_quantized, sz_pack
+from palu_tpu.ops.pallas.archive.palu_decode2 import palu_flash_decode2, palu_flash_decode2_quantized
+from palu_tpu.ops.pallas.archive.palu_decode3 import palu_flash_decode3_quantized, sz_pack
 from palu_tpu.ops.pallas.palu_decode4 import (
     palu_flash_decode4,
     palu_flash_decode4_quantized,
