@@ -396,6 +396,7 @@ def flash_decode_latent_seq_sharded_rank_major(
     interpret: bool = False,
     inv_freq_static=None,
     rope_scale: float = 1.0,
+    k_bias: Optional[jax.Array] = None,  # (G, hpg, hd) replicated (qwen2)
 ) -> jax.Array:
     """Sequence-sharded fused decode over a RANK-MAJOR latent cache (packed
     low-bit or bf16): each shard runs the v4 transposed kernel on its slice
@@ -403,6 +404,9 @@ def flash_decode_latent_seq_sharded_rank_major(
     and return_stats=True, then the flash-decoding combine (pmax on m,
     rescaled psums of l and acc) merges shards -- the quantized long-context
     north star: 64K+ caches sharded over chips stay packed end to end.
+    Per-chunk scale/zero rows (qcfg.group_size > 0, the reference's
+    --lt_group_size) shard along their last (sequence) axis like every
+    other leaf and pass through as (B, G, n_sc, S_local) row stacks.
 
     The reference has no distributed mode at all (SURVEY section-2.3); this
     is the TPU-native composition of its abx kernel math with sequence
@@ -430,22 +434,27 @@ def flash_decode_latent_seq_sharded_rank_major(
             rk=rk, rv=rv, block_s=bs, theta=theta,
             sliding_window=sliding_window, interpret=interpret,
             inv_freq_static=inv_freq_static, rope_scale=rope_scale,
-            pos_offset=offset, return_stats=True,
+            pos_offset=offset, return_stats=True, k_bias=k_bias,
         )
         if qcfg is None:
             acc, m, l = pk4.palu_flash_decode4(
                 q_, b_k, kb["lat_t"], vb["lat_t"], kvl_, **common)
         else:
-            zeros = {}
-            if not qcfg.sym:
-                zeros = {
+            if qcfg.group_size > 0:
+                # per-chunk: (B, G, n_sc, S_local) row stacks pass raw
+                ksc, vsc = kb["scale_t"], vb["scale_t"]
+                zeros = {} if qcfg.sym else {
+                    "xk_zero": kb["zero_t"], "xv_zero": vb["zero_t"],
+                }
+            else:
+                ksc = kb["scale_t"].reshape(b, g, s_local)
+                vsc = vb["scale_t"].reshape(b, g, s_local)
+                zeros = {} if qcfg.sym else {
                     "xk_zero": kb["zero_t"].reshape(b, g, s_local),
                     "xv_zero": vb["zero_t"].reshape(b, g, s_local),
                 }
             acc, m, l = pk4.palu_flash_decode4_quantized(
-                q_, b_k,
-                kb["codes_t"], kb["scale_t"].reshape(b, g, s_local),
-                vb["codes_t"], vb["scale_t"].reshape(b, g, s_local),
+                q_, b_k, kb["codes_t"], ksc, vb["codes_t"], vsc,
                 kvl_, qcfg=qcfg, **common, **zeros)
         m_g = jax.lax.pmax(m, axis)  # (B, nh)
         scale_ = jnp.exp(m - m_g)

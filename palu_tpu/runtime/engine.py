@@ -190,10 +190,23 @@ class Engine:
             and ecfg.qcfg.enabled
             and ecfg.qcfg.group_size > 0
         ):
-            raise ValueError(
-                "seq_axis does not compose with per-chunk (group_size > 0) "
-                "quantized caches yet; use per-row (group_size=0) scales"
-            )
+            # per-chunk caches shard over seq ONLY in the rank-major layout
+            # (scale/zero row stacks carry the sequence on their last axis);
+            # group sizes the rank-major layout cannot take would fall to a
+            # seq-major cache no sharded path consumes
+            for i in range(cfg.num_hidden_layers):
+                for which in ("k_proj", "v_proj"):
+                    r = cfg.uniform_rank_for(i, which)
+                    if r is not None and not cache_lib.rank_major_chunked(
+                        ecfg.qcfg, r
+                    ):
+                        raise ValueError(
+                            "seq_axis with per-chunk scales requires the "
+                            "rank-major layout: group_size must be a "
+                            f"multiple of 8 dividing every rank (layer {i} "
+                            f"{which} rank {r}, group_size "
+                            f"{ecfg.qcfg.group_size})"
+                        )
         # rope_scaling (models/rope.py): default schedule -> None (kernels
         # compute in-kernel from theta); scaled -> baked-in constants
         from ..models import rope as rope_mod
@@ -1119,15 +1132,25 @@ class Engine:
             ecfg.seq_axis is not None
             and ecfg.mesh is not None
             and ecfg.use_pallas
-            and "k_bias" not in der
-            and self._inv_freq_static is None
-            and (ecfg.rank_major_fp or (quantized and cache_lib.rank_major(ecfg.qcfg)))
+            and (
+                ecfg.rank_major_fp
+                or (
+                    quantized
+                    and (
+                        cache_lib.rank_major(ecfg.qcfg)
+                        or (
+                            cache_lib.rank_major_chunked(ecfg.qcfg, rk)
+                            and cache_lib.rank_major_chunked(ecfg.qcfg, rv)
+                        )
+                    )
+                )
+            )
         ):
             # sequence-parallel decode over a RANK-MAJOR cache (packed
-            # low-bit or bf16 transposed): per-shard v4 kernel with a
-            # position offset, flash-decoding stat combine (VERDICT round-2
-            # weak #4: the quantized long-context config now composes with
-            # the sequence axis)
+            # low-bit -- per-row or per-chunk scales -- or bf16 transposed):
+            # per-shard v4 kernel with a position offset, flash-decoding
+            # stat combine; composes with qwen2 k-bias and static-scaled
+            # rope (both fold inside the kernel)
             n_shards = ecfg.mesh.shape[ecfg.seq_axis]
             s_local = ecfg.s_max // n_shards
             lat_out = att_ops.flash_decode_latent_seq_sharded_rank_major(
@@ -1137,6 +1160,8 @@ class Engine:
                 block_s=min(self._pallas_block, s_local),
                 theta=cfg.rope_theta, sliding_window=cfg.sliding_window,
                 interpret=ecfg.pallas_interpret, rope_scale=self._rope_scale,
+                inv_freq_static=self._inv_freq_static,
+                k_bias=der.get("k_bias"),
             )
             lat_out = lat_out.astype(ecfg.dtype).reshape(b, nh * rv)
             out = wdot(lat_out, attn["o_proj"]["w_fused"])
