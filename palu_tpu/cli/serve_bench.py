@@ -34,6 +34,14 @@ def main():
     parser.add_argument("--decode_chunk", type=int, default=256)
     parser.add_argument("--use_cpu", action="store_true")
     parser.add_argument("--json", action="store_true")
+    parser.add_argument("--steady_steps", type=int, default=0,
+                        help="also measure the steady-state decode cadence "
+                        "over N steps with all lanes active, with the "
+                        "fixed dispatch+fetch cost measured and removed "
+                        "(docs/BENCH.md RTT-differencing methodology)")
+    parser.add_argument("--sample_frac", type=float, default=0.0,
+                        help="fraction of requests using temperature "
+                        "sampling (exercises the fused batched sampler)")
     args = parser.parse_args()
 
     import jax
@@ -72,11 +80,56 @@ def main():
                      weight_bits=args.weight_bits),
     )
 
+    from ..runtime.sampling import SamplingParams
+
     rng = np.random.default_rng(0)
     for rid in range(args.num_requests):
         plen = int(rng.integers(args.prompt_len // 2, args.prompt_len + 1))
+        sp = (SamplingParams(temperature=1.0, top_k=32)
+              if rng.random() < args.sample_frac else None)
         srv.submit(rid, rng.integers(1, cfg.vocab_size, (1, plen)),
-                   args.max_new_tokens)
+                   args.max_new_tokens, sampling=sp)
+
+    steady = None
+    if args.steady_steps:
+        # fill every lane (admission + prefill) then measure the pure
+        # decode cadence. step() is inherently serial (the next step's
+        # tokens come from this step's fetch), so each call pays one
+        # host dispatch + result fetch; on a tunneled backend that fixed
+        # cost dwarfs the device step, so we measure it with a trivial
+        # jitted fetch in the same process and subtract -- the corrected
+        # cadence is what a local (non-tunneled) host would see.
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        while srv.sched.num_queued() and srv.step():
+            if all(a != -1 for a in srv.sched.active()):
+                break
+        srv.step()  # decode-path compile
+        null = _jax.jit(lambda a: a + 1)
+        na = _jnp.zeros((args.lanes,), _jnp.int32)
+        _ = np.asarray(null(na))
+        t_null = []
+        for _i in range(20):
+            t0 = time.perf_counter()
+            _ = np.asarray(null(na))
+            t_null.append(time.perf_counter() - t0)
+        t_null = float(np.median(t_null))
+        t_steps = []
+        for _i in range(args.steady_steps):
+            t0 = time.perf_counter()
+            if not srv.step():
+                break
+            t_steps.append(time.perf_counter() - t0)
+        step_wall = float(np.median(t_steps)) if t_steps else float("nan")
+        corrected = max(step_wall - t_null, 1e-9)
+        steady = {
+            "step_wall_ms": round(step_wall * 1e3, 3),
+            "dispatch_fetch_ms": round(t_null * 1e3, 3),
+            "step_corrected_ms": round(corrected * 1e3, 3),
+            "steady_tokens_per_s": round(args.lanes / corrected, 1),
+            "steady_steps_measured": len(t_steps),
+        }
 
     # warmup compiles (first step pays prefill+decode compilation)
     srv.step()
@@ -92,6 +145,8 @@ def main():
         "lanes": args.lanes,
         "scheduler": type(srv.sched).__name__,
     }
+    if steady:
+        out["steady"] = steady
     print(json.dumps(out) if args.json else out)
 
 

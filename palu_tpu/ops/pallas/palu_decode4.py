@@ -143,6 +143,7 @@ def _make_kernel4(
     chunked: bool = False,
     seg_sum: bool = False,
     k_bias: bool = False,
+    fold_qoff: bool = False,
 ):
     """bits=None builds the fp (bf16 rank-major latents, no scales) variant;
     the cache refs then hold latent rows directly instead of packed codes,
@@ -169,16 +170,26 @@ def _make_kernel4(
     query lanes a1/a2 it collapses to U_b @ cosb + V_b @ sinb where
     U_b = per-head rows of (a1*b1 + a2*b2), V_b = rows of (a2*b1 - a1*b2):
     two (hpg, half) x (half, BS) dots per group-block, independent of the
-    cache (so it adds AFTER the per-token scale fold)."""
+    cache (so it adds AFTER the per-token scale fold).
+
+    fold_qoff=True (sym per-row only) removes the symmetric re-centering
+    from the per-element unpack: codes stay unsigned and the constant
+    offset rides the ASYM zero-correction machinery with in-kernel zero
+    rows z = -qoff * scale (algebraically identical; the unpack drops one
+    VPU op per cache value -- ~270M values/layer at 7B, the 3-bit
+    kernel's bottleneck)."""
     cdt = compute_dtype
     nh = g * hpg
+    zfold = fold_qoff and bits is not None and not asym and not chunked
     qoff = 2 ** (bits - 1) if (bits is not None and not asym) else 0
+    qoff_unpack = 0 if zfold else qoff
+    zcorr = asym or zfold  # zero-term corrections active (real or folded)
     pair = g % 2 == 0
 
     def _rows(ref_block, rank):
         if bits is None:
             return ref_block.astype(cdt)
-        return _unpack_rank_major_t(ref_block, bits, rank, qoff, cdt)
+        return _unpack_rank_major_t(ref_block, bits, rank, qoff_unpack, cdt)
 
     def kernel(kv_len_ref, *rest):
         if layer_stacked:
@@ -236,7 +247,12 @@ def _make_kernel4(
             if asym:
                 kz_rows = xk_z[...]  # zero-points (value units), same shape
                 vz_rows = xv_z[...]
-            if (asym and not chunked) or k_bias:
+            elif zfold:
+                # folded symmetric offset: codes stay unsigned, the
+                # re-centering becomes a per-token zero z = -qoff * scale
+                kz_rows = ks_rows * jnp.float32(-qoff)
+                vz_rows = vs_rows * jnp.float32(-qoff)
+            if (zcorr and not chunked) or k_bias:
                 cosb = cos_ref[0:half, :]  # untiled base tables, f32
                 sinb = sin_ref[0:half, :]
 
@@ -308,7 +324,7 @@ def _make_kernel4(
                         + jax.lax.dot_general(vb, sinb, (((1,), (0,)), ((), ())),
                                               preferred_element_type=jnp.float32)
                     )  # (hpg, BS)
-                if not asym or chunked:
+                if not zcorr or chunked:
                     # chunked asym needs no folded correction: the zero
                     # entered the dequantized operand before the dots
                     return t, None, bcorr
@@ -351,7 +367,7 @@ def _make_kernel4(
                                               (hpg, block_s)) for m in range(2)],
                             axis=0)
                         lg2 = lg2 * sc
-                        if asym:
+                        if zcorr:
                             zc = jnp.concatenate(
                                 [jnp.broadcast_to(kz_rows[gj + m : gj + m + 1, :],
                                                   (hpg, block_s)) for m in range(2)],
@@ -374,7 +390,7 @@ def _make_kernel4(
                                      t_g, preferred_element_type=jnp.float32)
                     if bits is not None and not chunked:
                         lg = lg * ks_rows[gi : gi + 1, :]
-                        if asym:
+                        if zcorr:
                             lg = lg + c_g * kz_rows[gi : gi + 1, :]
                     if k_bias:
                         lg = lg + b_g
@@ -406,7 +422,7 @@ def _make_kernel4(
                 pv = jax.lax.dot_general(
                     ps, cv, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (hpg, rv)
-                if asym and not chunked:
+                if zcorr and not chunked:
                     # zero-term: sum_s p[h,s] * z[s], broadcast over rv
                     pv = pv + jnp.sum(p_g * vz_rows[gi : gi + 1, :],
                                       axis=1, keepdims=True)
@@ -436,6 +452,7 @@ def _call4(
     compute_dtype, inv_freq_static, rope_scale, rot_dtype=jnp.float32,
     xk_zero=None, xv_zero=None, pos_offset=None, return_stats=False,
     layer_idx=None, group_chunk=None, seg_sum=False, k_bias=None,
+    fold_qoff=False,
 ):
     asym = xk_zero is not None
     stacked = layer_idx is not None
@@ -514,7 +531,7 @@ def _call4(
         compute_dtype=compute_dtype, rot_dtype=rot_dtype, asym=asym,
         return_stats=return_stats, layer_stacked=stacked,
         n_sc_k=nsk, n_sc_v=nsv, chunked=group_chunk is not None,
-        seg_sum=seg_sum, k_bias=k_bias is not None,
+        seg_sum=seg_sum, k_bias=k_bias is not None, fold_qoff=fold_qoff,
     )
 
     grid = (b, nblk)
@@ -627,7 +644,8 @@ def _call4(
     jax.jit,
     static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window",
                      "interpret", "compute_dtype", "inv_freq_static",
-                     "rope_scale", "rot_dtype", "return_stats", "seg_sum"),
+                     "rope_scale", "rot_dtype", "return_stats", "seg_sum",
+                     "fold_qoff"),
 )
 def palu_flash_decode4_quantized(
     q: jax.Array,  # (B, nh, hd)
@@ -665,6 +683,9 @@ def palu_flash_decode4_quantized(
     k_bias: Optional[jax.Array] = None,  # (G, hpg, hd) pre-RoPE K bias
     # (qwen2); folded as cache-independent per-position logit corrections
     # (_make_kernel4 docstring)
+    fold_qoff: bool = False,  # sym per-row: fold the re-centering constant
+    # out of the unpack into zero-correction dots (A/B knob; bit-identical
+    # math, _make_kernel4 docstring)
 ) -> jax.Array:
     """Decode attention over an affine-quantized rank-major latent cache
     -> (B, nh, rv) latent-space output.
@@ -699,6 +720,7 @@ def palu_flash_decode4_quantized(
         xk_zero=xk_zero, xv_zero=xv_zero,
         pos_offset=pos_offset, return_stats=return_stats,
         layer_idx=layer_idx, seg_sum=seg_sum, k_bias=k_bias,
+        fold_qoff=fold_qoff,
     )
 
 

@@ -424,3 +424,22 @@ def test_v4_k_bias_rope_scaled_and_stacked():
             layer_idx=jnp.asarray(li, jnp.int32))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("bits", [4, 3, 2])
+def test_v4_fold_qoff_matches_unfolded(bits):
+    """fold_qoff (symmetric re-centering folded into zero-correction dots)
+    is algebraically identical to the in-unpack subtract; composes with
+    k_bias and the sliding window."""
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=200, seed=23)
+    a, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64, sym=True)
+    b, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64, sym=True,
+                                fold_qoff=True)
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4)
+    kb = _rand_bias(seed=24)
+    a2, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64,
+                                 sym=True, k_bias=kb, sliding_window=100)
+    b2, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64,
+                                 sym=True, k_bias=kb, sliding_window=100,
+                                 fold_qoff=True)
+    np.testing.assert_allclose(b2, a2, rtol=2e-4, atol=2e-4)

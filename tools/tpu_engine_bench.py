@@ -127,7 +127,9 @@ def main():
           f"(stacked={getattr(eng, '_stacked', False)}); "
           f"mem={profiler.device_memory_stats().get('bytes_in_use', 0)/2**30:.2f} GiB",
           flush=True)
-    res = profiler.profile_tpot_chained(eng, SEQ, n_steps=STEPS, k_calls=K)
+    trace_dir = os.environ.get("TRACE") or None
+    res = profiler.profile_tpot_chained(eng, SEQ, n_steps=STEPS, k_calls=K,
+                                        trace_dir=trace_dir)
     res.update(layers=L, bits=BITS, seq=SEQ, s_max=s_max, weight_bits=WBITS,
                stacked=bool(getattr(eng, "_stacked", False)))
     print(f"# TPOT {res['tpot_ms']:.2f} ms/step ({res['tokens_per_s']:.1f} tok/s, "

@@ -127,9 +127,34 @@ def main():
 
     us3, cs3 = timeit(chained(stacked_fixed), st)
     print(f"# stacked fixed 0: {us3:8.1f} us/call (compile {cs3:.0f}s)", flush=True)
+
+    def per_layer_fold(q, i, kc, kss, vc, vs):
+        return palu_flash_decode4_quantized(
+            q, b_k, kc, kss, vc, vs, kvl, qcfg=qc, rk=rk, rv=rv,
+            block_s=BS, fold_qoff=True)
+
+    us4, cs4 = timeit(chained(per_layer_fold), base)
+    print(f"# fold_qoff      : {us4:8.1f} us/call (compile {cs4:.0f}s)", flush=True)
+
+    def per_layer_rot16(q, i, kc, kss, vc, vs):
+        return palu_flash_decode4_quantized(
+            q, b_k, kc, kss, vc, vs, kvl, qcfg=qc, rk=rk, rv=rv,
+            block_s=BS, rot_dtype=jnp.bfloat16)
+
+    us5, cs5 = timeit(chained(per_layer_rot16), base)
+    print(f"# rot bf16       : {us5:8.1f} us/call (compile {cs5:.0f}s)", flush=True)
+
+    def per_layer_both(q, i, kc, kss, vc, vs):
+        return palu_flash_decode4_quantized(
+            q, b_k, kc, kss, vc, vs, kvl, qcfg=qc, rk=rk, rv=rv,
+            block_s=BS, fold_qoff=True, rot_dtype=jnp.bfloat16)
+
+    us6, cs6 = timeit(chained(per_layer_both), base)
+    print(f"# fold+rot16     : {us6:8.1f} us/call (compile {cs6:.0f}s)", flush=True)
     print(json.dumps({"per_layer_us": us, "stacked_cycle_us": us2,
-                      "stacked_fixed_us": us3, "seq": SEQ, "bs": BS,
-                      "bits": BITS, "L": L}))
+                      "stacked_fixed_us": us3, "fold_qoff_us": us4,
+                      "rot_bf16_us": us5, "fold_rot16_us": us6,
+                      "seq": SEQ, "bs": BS, "bits": BITS, "L": L}))
 
 
 if __name__ == "__main__":
