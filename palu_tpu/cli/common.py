@@ -16,6 +16,11 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--lt_hadamard", action="store_true",
                         help="apply the Hadamard rotation to latents (fused "
                         "into VT/U weights at load time)")
+    parser.add_argument("--lt_container", type=int, default=0,
+                        help="cache storage field width per code (0 = lt_bits"
+                        "; e.g. 4 stores 3-bit codes in nibbles: identical "
+                        "accuracy, ~25%% faster fused decode, 4/3x cache "
+                        "bytes -- docs/BENCH.md round-4)")
     parser.add_argument("--use_cpu", action="store_true")
     return parser
 
@@ -29,6 +34,7 @@ def quant_config_from_args(args):
         sym=args.lt_sym,
         clip_ratio=args.lt_clip_ratio,
         hadamard=args.lt_hadamard,
+        container=getattr(args, "lt_container", 0),
     )
 
 

@@ -38,13 +38,34 @@ __all__ = [
 
 @dataclasses.dataclass(frozen=True)
 class QuantConfig:
-    """Latent quantizer configuration (reference add_common_args, utils.py:101-110)."""
+    """Latent quantizer configuration (reference add_common_args, utils.py:101-110).
+
+    `container` (0 = same as `bits`) widens the STORAGE field per code
+    without changing the quantization grid: bits=3, container=4 keeps the
+    8-level 3-bit codes (identical accuracy to the reference's 3-bit
+    protocol) but stores them in nibbles, so the fused kernel's per-value
+    unpack is one shift+mask instead of the two-plane 3-bit assembly --
+    the 3-bit decode kernel's VPU bottleneck (docs/BENCH.md round-4
+    decomposition) -- at 4/3x the cache bytes."""
 
     bits: int = 16
     group_size: int = 0  # 0 = one scale per row (last dim)
     sym: bool = False
     clip_ratio: float = 1.0
     hadamard: bool = False
+    container: int = 0  # storage field width; 0 = bits (exact packing)
+
+    def __post_init__(self):
+        if self.container and self.container != self.bits:
+            if self.container not in (2, 4, 8) or self.container < self.bits:
+                raise ValueError(
+                    f"container {self.container} must be a power-of-two "
+                    f"field width >= bits ({self.bits})")
+
+    @property
+    def pack_bits(self) -> int:
+        """Storage field width per code (>= bits)."""
+        return self.container or self.bits
 
     @property
     def enabled(self) -> bool:

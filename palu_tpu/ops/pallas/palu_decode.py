@@ -189,7 +189,7 @@ def _make_decode_kernel(
             q_min = -(2 ** (qcfg.bits - 1)) if qcfg.sym else 0
 
             def dequant(codes_ref, scales_ref, base_ref, rank):
-                codes = _unpack_block(codes_ref[...].astype(jnp.int32), qcfg.bits, rank)
+                codes = _unpack_block(codes_ref[...].astype(jnp.int32), qcfg.pack_bits, rank)
                 vals = (codes + q_min).astype(cdt)
                 return (vals - base_ref[...].astype(cdt)) * scales_ref[...].astype(cdt)
 
@@ -333,7 +333,7 @@ def _make_decode_kernel_merged(
                 instruction overhead dominates; batching makes each op 8x
                 wider for the same total element count."""
                 flat = codes.reshape(g * block_s, -1).astype(jnp.int32)
-                c = _unpack_block(flat, qcfg.bits, rank)
+                c = _unpack_block(flat, qcfg.pack_bits, rank)
                 vals = (c + q_min).astype(cdt)
                 s_ = scales.reshape(g * block_s, 1).astype(cdt)
                 b_ = base.reshape(g * block_s, 1).astype(cdt)
@@ -586,8 +586,8 @@ def palu_flash_decode_quantized(
     b, nh, hd = q.shape
     g, hpg = b_k.shape[0], b_k.shape[1]
     s_max = xk_codes.shape[2]
-    nbk = packed_nbytes(rk, qcfg.bits)
-    nbv = packed_nbytes(rv, qcfg.bits)
+    nbk = packed_nbytes(rk, qcfg.pack_bits)
+    nbv = packed_nbytes(rv, qcfg.pack_bits)
     assert xk_codes.shape[3] == nbk and xv_codes.shape[3] == nbv
 
     b1, b2 = split_b_halves(b_k)

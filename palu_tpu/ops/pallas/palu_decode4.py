@@ -144,6 +144,10 @@ def _make_kernel4(
     seg_sum: bool = False,
     k_bias: bool = False,
     fold_qoff: bool = False,
+    pack_bits: Optional[int] = None,  # storage field width (>= bits):
+    # QuantConfig.container; e.g. 3-bit codes in 4-bit nibbles halve the
+    # per-value unpack ops (the 3-bit kernel's VPU bottleneck) for 4/3x
+    # the cache reads
 ):
     """bits=None builds the fp (bf16 rank-major latents, no scales) variant;
     the cache refs then hold latent rows directly instead of packed codes,
@@ -180,6 +184,7 @@ def _make_kernel4(
     kernel's bottleneck)."""
     cdt = compute_dtype
     nh = g * hpg
+    pbits = pack_bits or bits  # unpack geometry; `bits` keeps the grid/qoff
     zfold = fold_qoff and bits is not None and not asym and not chunked
     qoff = 2 ** (bits - 1) if (bits is not None and not asym) else 0
     qoff_unpack = 0 if zfold else qoff
@@ -189,7 +194,7 @@ def _make_kernel4(
     def _rows(ref_block, rank):
         if bits is None:
             return ref_block.astype(cdt)
-        return _unpack_rank_major_t(ref_block, bits, rank, qoff_unpack, cdt)
+        return _unpack_rank_major_t(ref_block, pbits, rank, qoff_unpack, cdt)
 
     def kernel(kv_len_ref, *rest):
         if layer_stacked:
@@ -452,7 +457,7 @@ def _call4(
     compute_dtype, inv_freq_static, rope_scale, rot_dtype=jnp.float32,
     xk_zero=None, xv_zero=None, pos_offset=None, return_stats=False,
     layer_idx=None, group_chunk=None, seg_sum=False, k_bias=None,
-    fold_qoff=False,
+    fold_qoff=False, pack_bits=None,
 ):
     asym = xk_zero is not None
     stacked = layer_idx is not None
@@ -461,8 +466,9 @@ def _call4(
     s_max = xk_rows.shape[-1]
     half = hd // 2
     W = hpg * half
-    nrk = packed_nrows(rk, bits) if bits is not None else rk
-    nrv = packed_nrows(rv, bits) if bits is not None else rv
+    pb = pack_bits or bits
+    nrk = packed_nrows(rk, pb) if bits is not None else rk
+    nrv = packed_nrows(rv, pb) if bits is not None else rv
     lb = (xk_rows.shape[0],) if stacked else ()  # leading layer dim
     assert xk_rows.shape[-2] == nrk and xv_rows.shape[-2] == nrv
     if group_chunk:
@@ -532,6 +538,7 @@ def _call4(
         return_stats=return_stats, layer_stacked=stacked,
         n_sc_k=nsk, n_sc_v=nsv, chunked=group_chunk is not None,
         seg_sum=seg_sum, k_bias=k_bias is not None, fold_qoff=fold_qoff,
+        pack_bits=pack_bits,
     )
 
     grid = (b, nblk)
@@ -683,9 +690,12 @@ def palu_flash_decode4_quantized(
     k_bias: Optional[jax.Array] = None,  # (G, hpg, hd) pre-RoPE K bias
     # (qwen2); folded as cache-independent per-position logit corrections
     # (_make_kernel4 docstring)
-    fold_qoff: bool = False,  # sym per-row: fold the re-centering constant
-    # out of the unpack into zero-correction dots (A/B knob; bit-identical
-    # math, _make_kernel4 docstring)
+    fold_qoff: bool = True,  # sym per-row: fold the re-centering constant
+    # out of the unpack into zero-correction dots -- default ON: the chip
+    # A/B has it ~7% faster at the 3-bit/64K/block-2048 headline point
+    # (746 vs 802 us chained, tools/tpu_stacked_kernel_ab.py); identical
+    # algebra (_make_kernel4 docstring), False keeps the in-unpack subtract
+    # as an A/B knob
 ) -> jax.Array:
     """Decode attention over an affine-quantized rank-major latent cache
     -> (B, nh, rv) latent-space output.
@@ -713,7 +723,8 @@ def palu_flash_decode4_quantized(
     return _call4(
         q, b_k, xk_codes, xk_scale, xv_codes, xv_scale, kv_len,
         group_chunk=qcfg.group_size or None,
-        bits=qcfg.bits, rk=rk, rv=rv, block_s=block_s, theta=theta,
+        bits=qcfg.bits, pack_bits=qcfg.pack_bits,
+        rk=rk, rv=rv, block_s=block_s, theta=theta,
         sliding_window=sliding_window, interpret=interpret,
         compute_dtype=compute_dtype, inv_freq_static=inv_freq_static,
         rope_scale=rope_scale, rot_dtype=rot_dtype,

@@ -87,7 +87,7 @@ def _layer_buffers(
             return {"lat_t": jnp.zeros((batch, groups, rank, s_max), dtype)}
         return {"lat": jnp.zeros((batch, groups, s_max, rank), dtype)}
     if rank_major(qcfg) or rank_major_chunked(qcfg, rank):
-        nrows = quant.packed_nrows(rank, qcfg.bits)
+        nrows = quant.packed_nrows(rank, qcfg.pack_bits)
         n_sc = rank // qcfg.group_size if qcfg.group_size > 0 else 1
         bufs = {
             "codes_t": jnp.zeros((batch, groups, nrows, s_max), jnp.uint8),
@@ -96,7 +96,7 @@ def _layer_buffers(
         if not qcfg.sym:
             bufs["zero_t"] = jnp.zeros((batch, groups, n_sc, s_max), jnp.float32)
         return bufs
-    nbytes = quant.packed_nbytes(rank, qcfg.bits)
+    nbytes = quant.packed_nbytes(rank, qcfg.pack_bits)
     n_scale = rank // qcfg.group_size if qcfg.group_size > 0 else 1
     return {
         "codes": jnp.zeros((batch, groups, s_max, nbytes), jnp.uint8),
@@ -266,14 +266,14 @@ def _encode(latents: jax.Array, qcfg: Optional[quant.QuantConfig], dtype,
         # scales (B, G, S, n_sc) -> (B, G, n_sc, S): sequence on the last
         # axis (n_sc = 1 per-row, rank//group_size per-chunk)
         upd = {
-            "codes_t": quant.pack_codes_t(codes, qcfg.bits),
+            "codes_t": quant.pack_codes_t(codes, qcfg.pack_bits),
             "scale_t": jnp.swapaxes(scales.astype(jnp.float32), -1, -2),
         }
         if not qcfg.sym:
             upd["zero_t"] = jnp.swapaxes(zeros.astype(jnp.float32), -1, -2)
         return upd
     codes, scales, base = quant.quantize(latents, qcfg)
-    packed = quant.pack_codes(codes, qcfg.bits)
+    packed = quant.pack_codes(codes, qcfg.pack_bits)
     return {
         "codes": packed,
         "scales": scales.astype(jnp.float32),
@@ -294,7 +294,7 @@ def decode_latents(
             return jnp.swapaxes(buf["lat_t"], -1, -2).astype(dtype)
         return buf["lat"].astype(dtype)
     if "codes_t" in buf:
-        codes = quant.unpack_codes_t(buf["codes_t"], qcfg.bits, rank)
+        codes = quant.unpack_codes_t(buf["codes_t"], qcfg.pack_bits, rank)
 
         def rows(a):  # (B, G, n_sc, S) -> (B, G, rank, S)
             n_sc = a.shape[-2]
@@ -307,7 +307,7 @@ def decode_latents(
             lat = codes.astype(jnp.float32) * rows(buf["scale_t"]) + rows(
                 buf["zero_t"])
         return jnp.swapaxes(lat, -1, -2).astype(dtype)
-    codes = quant.unpack_codes(buf["codes"], qcfg.bits, rank)
+    codes = quant.unpack_codes(buf["codes"], qcfg.pack_bits, rank)
     return quant.dequantize(codes, buf["scales"], buf["base"], qcfg, dtype=dtype)
 
 

@@ -131,6 +131,32 @@ def test_packed_nbytes_3bit_exact():
     assert quant.packed_nbytes(128, 3) == 48  # = 128*3/8
 
 
+def test_container_pack_bits_and_validation():
+    cfg = quant.QuantConfig(bits=3, sym=True, container=4)
+    assert cfg.pack_bits == 4 and cfg.bits == 3
+    assert quant.QuantConfig(bits=3).pack_bits == 3
+    with pytest.raises(ValueError):
+        quant.QuantConfig(bits=4, container=2)  # narrower than bits
+    with pytest.raises(ValueError):
+        quant.QuantConfig(bits=3, container=5)  # not a field width
+
+
+def test_container_roundtrip_identical_values():
+    """3-bit codes in a 4-bit nibble container: same quantization grid,
+    same codes, only the storage geometry changes."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 4, 64)).astype(np.float32))
+    c3 = quant.QuantConfig(bits=3, group_size=0, sym=True)
+    c34 = quant.QuantConfig(bits=3, group_size=0, sym=True, container=4)
+    codes, scales, zeros = quant.quantize_affine(x, c34)
+    codes3, _, _ = quant.quantize_affine(x, c3)
+    assert np.array_equal(np.asarray(codes), np.asarray(codes3))
+    packed = quant.pack_codes_t(codes, c34.pack_bits)
+    assert packed.shape[-2] == quant.packed_nrows(64, 4)  # nibble rows
+    out = np.asarray(quant.unpack_codes_t(packed, c34.pack_bits, 64))
+    assert np.array_equal(out, np.moveaxis(np.asarray(codes), -1, -2))
+
+
 # ---------------------------------------------------------------------------
 # Low-rank decomposition
 # ---------------------------------------------------------------------------

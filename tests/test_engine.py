@@ -262,6 +262,23 @@ def test_ragged_ranks_across_layers():
     assert np.allclose(step, ref, atol=5e-3), np.abs(step - ref).max()
 
 
+def test_engine_container_matches_exact_packing():
+    """3-bit codes in a 4-bit nibble container end-to-end through the
+    Engine (cache alloc + append + fused kernel): logits identical to the
+    exact 3-bit packing (same codes, wider storage geometry)."""
+    params, cfg = _lowrank_model(seed=27, rank=16, gs=2)
+    ids = np.random.default_rng(27).integers(0, cfg.vocab_size, (1, 12))
+    outs = []
+    for container in (0, 4):
+        qcfg = QuantConfig(bits=3, group_size=0, sym=True, container=container)
+        eng = Engine(params, cfg, EngineConfig(s_max=16, dtype=jnp.float32,
+                                               qcfg=qcfg, decode_chunk=8,
+                                               use_pallas=True,
+                                               pallas_interpret=True))
+        outs.append(_stepwise_logits(eng, ids))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 @pytest.mark.parametrize(
     "bits,sym", [(16, False), (3, False), (3, True), (4, True), (2, True)]
 )

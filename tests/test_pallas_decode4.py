@@ -50,8 +50,9 @@ def _xla_reference(q, b_k, x_k, x_v, kv_len, chunk=64, sliding_window=None,
     )
 
 
-def _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, rk, rv, sym=True, **kw):
-    qcfg = QuantConfig(bits=bits, group_size=0, sym=sym)
+def _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, rk, rv, sym=True,
+                      container=0, **kw):
+    qcfg = QuantConfig(bits=bits, group_size=0, sym=sym, container=container)
     kc, ks, kz = quant_mod.quantize_affine(x_k, qcfg)
     vc, vs, vz = quant_mod.quantize_affine(x_v, qcfg)
     x_k_dq = kc.astype(jnp.float32) * ks + kz
@@ -59,8 +60,8 @@ def _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, rk, rv, sym=True, **kw):
     zeros = {} if sym else {"xk_zero": kz[..., 0], "xv_zero": vz[..., 0]}
     out = palu_flash_decode4_quantized(
         q, b_k,
-        quant_mod.pack_codes_t(kc, bits), ks[..., 0],
-        quant_mod.pack_codes_t(vc, bits), vs[..., 0],
+        quant_mod.pack_codes_t(kc, qcfg.pack_bits), ks[..., 0],
+        quant_mod.pack_codes_t(vc, qcfg.pack_bits), vs[..., 0],
         kvl, qcfg=qcfg, rk=rk, rv=rv, block_s=64, interpret=True,
         compute_dtype=jnp.float32, **zeros, **kw,
     )
@@ -432,14 +433,41 @@ def test_v4_fold_qoff_matches_unfolded(bits):
     is algebraically identical to the in-unpack subtract; composes with
     k_bias and the sliding window."""
     q, b_k, x_k, x_v, kvl = _setup(kv_len=200, seed=23)
-    a, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64, sym=True)
+    a, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64, sym=True,
+                                fold_qoff=False)
     b, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64, sym=True,
                                 fold_qoff=True)
     np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4)
     kb = _rand_bias(seed=24)
     a2, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64,
-                                 sym=True, k_bias=kb, sliding_window=100)
+                                 sym=True, k_bias=kb, sliding_window=100,
+                                 fold_qoff=False)
     b2, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64,
                                  sym=True, k_bias=kb, sliding_window=100,
                                  fold_qoff=True)
     np.testing.assert_allclose(b2, a2, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("sym", [True, False])
+@pytest.mark.parametrize("bits,container", [(3, 4), (2, 4), (3, 8)])
+def test_v4_container_matches_exact_packing(bits, container, sym):
+    """Nibble/byte CONTAINER storage (QuantConfig.container): identical
+    quantization grid and codes, only the packed geometry widens -- the
+    kernel output must match the exact-width packing bit-for-bit."""
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=200, seed=31)
+    a, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64, sym=sym)
+    b, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64, sym=sym,
+                                container=container)
+    np.testing.assert_array_equal(b, a)
+
+
+def test_v4_container_stacked_window_and_ref():
+    """Container packing composes with layer-independent knobs (sliding
+    window, seg_sum off) and still matches the XLA dequant reference."""
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=200, seed=32)
+    out, x_k_dq, x_v_dq = _quantize_and_run(
+        q, b_k, x_k, x_v, kvl, 3, 32, 64, sym=True, container=4,
+        sliding_window=100, seg_sum=False)
+    ref = np.asarray(_xla_reference(q, b_k, x_k_dq, x_v_dq, kvl,
+                                    sliding_window=100))
+    assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
