@@ -19,6 +19,7 @@ Reference math being reproduced: kernel/palu_attention.py:147-263.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import jax
@@ -81,6 +82,13 @@ class EngineConfig:
     # unrolled per-layer decode is the production default until that scan
     # overhead is closed.
     stacked_decode: Optional[bool] = None
+    # LAYER-major chunked prefill: each layer reconstructs its K/V prefix
+    # once per power-of-two run instead of once per chunk (~8.5x less
+    # reconstruct work at 64K/4096, docs/BENCH.md round-4 prefill). None =
+    # auto (on when eligible: use_pallas, no mesh/seq_axis/stacked,
+    # all-low-rank); False = always chunk-major (serving-style
+    # interleaving); True = force (raises when ineligible).
+    layer_major_prefill: Optional[bool] = None
 
 
 def build_decode_b(u_k: np.ndarray, cfg: ModelConfig) -> np.ndarray:
@@ -874,28 +882,150 @@ class Engine:
         )
         return self._lm_head_logits(params, x), cache
 
-    def _prefill_attn_pallas(self, q, entry, attn, rk, rv, q_off, kv_len):
-        """Chunked-prefill attention through the fused Pallas flash kernel
-        (ops/pallas/prefill_flash.py). q: (B, Cq, nh, hd) roped; returns
-        (B, Cq, nh*hd) for the unfused o_proj.
+    def _prefill_layer_major_impl(self, params, cache, ids, base_offset,
+                                  needed):
+        """LAYER-major prefill of a run of chunks: the whole run advances
+        one layer at a time, so each layer dequantizes + reconstructs +
+        ropes its K/V prefix exactly ONCE.  The chunk-major scan
+        (_prefill_scan_impl) re-reconstructs the entire prefix for every
+        chunk -- at 64K/4096 that is ~8.5x redundant reconstruct work,
+        ~75 ms/layer of the 0.583 s/layer round-3 prefill (docs/BENCH.md).
+        The attention FLOPs (the real S^2 roofline) are unchanged: the same
+        prefill_flash kernel runs per (q-chunk, prefix) with identical
+        q_offset/kv_len semantics, so logits match the chunk-major path.
 
-        The needed cache prefix is dequantized, reconstructed (per KV head,
-        qwen2 bias included) and roped in XLA -- a tiny fraction of the
-        attention FLOPs -- into (B, nkv, S_max, hd) scratch whose live range
-        is one layer; the kernel then streams it once with the online
-        softmax fully in VMEM. Scaled-rope and bias models are supported
-        because RoPE/bias happen here, not in the kernel."""
+        ids: (B, m, C); base_offset: (B,) run start (chunks before the run
+        were already written by previous runs); needed: STATIC count of
+        cache-read chunks covering [0, base + m*C) for the one-shot
+        reconstruct.  Activation cost: one (B, m*C, H) hidden buffer
+        updated chunk-wise in place + the per-layer (B, nkv, S_max, hd)
+        K/V scratch -- O(S) extra HBM, not O(L*S).
+
+        The reference has no prefill story at all (its latency harness
+        seeds the cache with random latents, run_latency_attention.py)."""
         from ..ops.pallas.prefill_flash import prefill_flash
 
         cfg, ecfg = self.cfg, self.ecfg
-        b, cq, nh, hd = q.shape
-        nkv = cfg.num_key_value_heads
+        b, m, C = ids.shape
+        run = m * C
+        nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                       cfg.head_dim)
+        x = params["embed"][ids.reshape(b, run)].astype(ecfg.dtype)
+        positions = base_offset[:, None] + jnp.arange(run)[None, :]
+        cos_all, sin_all = llama.rope_cos_sin_for(cfg, positions)
+
+        new_layers = []
+        for i, (p_layer, entry, der) in enumerate(
+            zip(params["layers"], cache["layers"], self.derived)
+        ):
+            attn = p_layer["attn"]
+            # pass A: full-run latents -> one cache write per side
+            h = llama.rms_norm(x, p_layer["input_norm"], cfg.rms_norm_eps)
+            entry = dict(entry)
+            lat_k = llama.project_kv(h, attn["k_proj"]).transpose(0, 2, 1, 3)
+            entry["k"] = cache_lib.write_at_lanes(
+                entry["k"],
+                cache_lib._encode(lat_k, ecfg.qcfg, ecfg.dtype,
+                                  ecfg.rank_major_fp),
+                base_offset,
+            )
+            lat_v = llama.project_kv(h, attn["v_proj"]).transpose(0, 2, 1, 3)
+            entry["v"] = cache_lib.write_at_lanes(
+                entry["v"],
+                cache_lib._encode(lat_v, ecfg.qcfg, ecfg.dtype,
+                                  ecfg.rank_major_fp),
+                base_offset,
+            )
+            rk = attn["k_proj"]["U"].shape[1]
+            rv = attn["v_proj"]["U"].shape[1]
+
+            # reconstruct + rope the K/V prefix ONCE for the whole run
+            k_full, v_full = self._reconstruct_dense(entry, attn, rk, rv,
+                                                     needed)
+
+            # pass B: attention + MLP, chunk-wise in place
+            def chunk_body(c, x, p_layer=p_layer, attn=attn,
+                           k_full=k_full, v_full=v_full):
+                xc = jax.lax.dynamic_slice_in_dim(x, c * C, C, axis=1)
+                hc = llama.rms_norm(xc, p_layer["input_norm"],
+                                    cfg.rms_norm_eps)
+                q = wdot(hc, attn["q_proj"]["w"])
+                if attn["q_proj"].get("b") is not None:
+                    q = q + attn["q_proj"]["b"]
+                q = q.reshape(b, C, nh, hd)
+                cos = jax.lax.dynamic_slice_in_dim(cos_all, c * C, C, axis=1)
+                sin = jax.lax.dynamic_slice_in_dim(sin_all, c * C, C, axis=1)
+                q = llama.apply_rope(q.astype(jnp.float32), cos, sin).astype(
+                    ecfg.dtype)
+                q_off = base_offset + c * C
+                out = prefill_flash(
+                    q.transpose(0, 2, 1, 3), k_full, v_full, q_off,
+                    q_off + C,
+                    block_s=self._prefill_block,
+                    sliding_window=cfg.sliding_window,
+                    interpret=ecfg.pallas_interpret,
+                    compute_dtype=ecfg.dtype,
+                )
+                attn_out = out.transpose(0, 2, 1, 3).reshape(b, C, nh * hd)
+                xc = xc + wdot(attn_out, attn["o_proj"]["w"])
+                h2 = llama.rms_norm(xc, p_layer["post_norm"],
+                                    cfg.rms_norm_eps)
+                xc = xc + llama.mlp_forward(h2, p_layer["mlp"])
+                return jax.lax.dynamic_update_slice_in_dim(
+                    x, xc, c * C, axis=1)
+
+            x = jax.lax.fori_loop(0, m, chunk_body, x)
+            new_layers.append(entry)
+
+        # logits for the run's LAST chunk only (caller gathers the real
+        # last token), matching _prefill_scan_impl's contract
+        logits = self._lm_head_logits(params, x[:, (m - 1) * C:])
+        new_cache = {"layers": new_layers,
+                     "length": base_offset + run}
+        return logits, new_cache
+
+    def _layer_major_eligible(self) -> bool:
+        """Layer-major prefill needs the fused Pallas prefill path (its
+        reconstruct-once structure) on an unsharded, unstacked engine with
+        all-low-rank k/v."""
+        if not self.ecfg.use_pallas or self._stacked:
+            return False
+        if self.ecfg.mesh is not None or self.ecfg.seq_axis is not None:
+            return False
+        return all(
+            "VT" in l["attn"]["k_proj"] and "VT" in l["attn"]["v_proj"]
+            for l in self.params["layers"]
+        )
+
+    def _prefill_lm_jit(self, needed: int):
+        """Per-`needed` jitted layer-major run (needed = static count of
+        cache-read chunks the reconstruct covers; O(log^2 s_max) distinct
+        values across the power-of-two run decomposition)."""
+        jits = getattr(self, "_lm_jits", None)
+        if jits is None:
+            jits = self._lm_jits = {}
+        if needed not in jits:
+            jits[needed] = jax.jit(
+                functools.partial(self._prefill_layer_major_impl,
+                                  needed=needed),
+                donate_argnums=(1,),
+            )
+        return jits[needed]
+
+    def _reconstruct_dense(self, entry, attn, rk, rv, needed):
+        """Dequantize + reconstruct (per KV head, qwen2 bias included) +
+        RoPE the first `needed` cache-read chunks of a layer's latent
+        buffers into (B, nkv, S_max, hd) dense K/V scratch whose live range
+        is one layer. `needed` may be a traced scalar (chunk-major prefill)
+        or a static int (layer-major prefill)."""
+        cfg, ecfg = self.cfg, self.ecfg
+        b = entry["k"][next(iter(entry["k"]))].shape[0]
+        nkv, hd = cfg.num_key_value_heads, cfg.head_dim
         chunk = self._chunk
         s_max = ecfg.s_max
 
         k_full = jnp.zeros((b, nkv, s_max, hd), ecfg.dtype)
         v_full = jnp.zeros((b, nkv, s_max, hd), ecfg.dtype)
-        needed = (jnp.max(kv_len) - 1) // chunk + 1
 
         def body(j, bufs):
             kf, vf = bufs
@@ -928,7 +1058,25 @@ class Engine:
             )
             return kf, vf
 
-        k_full, v_full = jax.lax.fori_loop(0, needed, body, (k_full, v_full))
+        return jax.lax.fori_loop(0, needed, body, (k_full, v_full))
+
+    def _prefill_attn_pallas(self, q, entry, attn, rk, rv, q_off, kv_len):
+        """Chunked-prefill attention through the fused Pallas flash kernel
+        (ops/pallas/prefill_flash.py). q: (B, Cq, nh, hd) roped; returns
+        (B, Cq, nh*hd) for the unfused o_proj.
+
+        The needed cache prefix is dequantized, reconstructed (per KV head,
+        qwen2 bias included) and roped in XLA -- a tiny fraction of the
+        attention FLOPs -- into (B, nkv, S_max, hd) scratch whose live range
+        is one layer; the kernel then streams it once with the online
+        softmax fully in VMEM. Scaled-rope and bias models are supported
+        because RoPE/bias happen here, not in the kernel."""
+        from ..ops.pallas.prefill_flash import prefill_flash
+
+        cfg, ecfg = self.cfg, self.ecfg
+        b, cq, nh, hd = q.shape
+        needed = (jnp.max(kv_len) - 1) // self._chunk + 1
+        k_full, v_full = self._reconstruct_dense(entry, attn, rk, rv, needed)
         q_t = q.transpose(0, 2, 1, 3)  # (B, nh, Cq, hd)
 
         def kernel_call(q_, k_, v_, off_, kvl_):
@@ -1007,6 +1155,12 @@ class Engine:
         # decompose into descending powers of two: each power-of-two run
         # goes through ONE scanned executable (no per-chunk host dispatch),
         # and the set of compiled program shapes stays O(log(s_max/chunk))
+        lm = self.ecfg.layer_major_prefill
+        use_lm = self._layer_major_eligible() if lm is None else lm
+        if use_lm and not self._layer_major_eligible():
+            raise ValueError("layer_major_prefill=True but the engine is "
+                             "ineligible (needs use_pallas, no mesh/"
+                             "seq_axis/stacked, all-low-rank k/v)")
         logits = None
         off_chunks = 0
         remaining = n_chunks
@@ -1015,7 +1169,14 @@ class Engine:
             off = off_chunks * chunk_size
             offset = jnp.full((b,), off, jnp.int32)
             ids = padded[:, off : off + m * chunk_size]
-            if m == 1:
+            if use_lm and m >= 2:
+                # layer-major run: reconstruct-once per layer
+                needed = -(-(off + m * chunk_size) // self._chunk)
+                logits, cache = self._prefill_lm_jit(needed)(
+                    self.params, cache,
+                    jnp.asarray(ids.reshape(b, m, chunk_size)), offset,
+                )
+            elif m == 1:
                 logits, cache = self._prefill_chunk_jit(
                     self.params, cache, jnp.asarray(ids), offset
                 )

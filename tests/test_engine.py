@@ -262,6 +262,39 @@ def test_ragged_ranks_across_layers():
     assert np.allclose(step, ref, atol=5e-3), np.abs(step - ref).max()
 
 
+@pytest.mark.parametrize("qbits", [16, 3])
+def test_engine_layer_major_prefill_matches_chunk_major(qbits):
+    """Layer-major chunked prefill (reconstruct-once per layer per run) ==
+    chunk-major prefill: same cache writes, same kernel semantics, so
+    last-token logits and the subsequent decode agree. 7 chunks exercises
+    the power-of-two run decomposition (4+2+1) with non-zero base offsets
+    and a padded tail."""
+    params, cfg = _lowrank_model(seed=29, rank=16, gs=2)
+    qcfg = (QuantConfig(bits=qbits, group_size=0, sym=True)
+            if qbits < 16 else None)
+    ids = np.random.default_rng(29).integers(0, cfg.vocab_size, (1, 26))
+    outs = []
+    for lm in (False, True):
+        eng = Engine(params, cfg, EngineConfig(
+            s_max=32, dtype=jnp.float32, qcfg=qcfg, decode_chunk=8,
+            use_pallas=True, pallas_interpret=True, layer_major_prefill=lm))
+        logits, cache = eng.prefill_chunked(ids, chunk_size=4)
+        step, cache = eng.decode(ids[:, -1:] * 0 + 1, cache)
+        outs.append((np.asarray(logits), np.asarray(step)))
+    np.testing.assert_allclose(outs[1][0], outs[0][0], atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(outs[1][1], outs[0][1], atol=2e-4, rtol=1e-4)
+
+
+def test_engine_layer_major_force_ineligible_raises():
+    params, cfg = _lowrank_model(seed=30, rank=16, gs=2)
+    eng = Engine(params, cfg, EngineConfig(
+        s_max=32, dtype=jnp.float32, decode_chunk=8,
+        layer_major_prefill=True))  # no use_pallas -> ineligible
+    ids = np.zeros((1, 12), np.int64)
+    with pytest.raises(ValueError, match="layer_major_prefill"):
+        eng.prefill_chunked(ids, chunk_size=4)
+
+
 def test_engine_container_matches_exact_packing():
     """3-bit codes in a 4-bit nibble container end-to-end through the
     Engine (cache alloc + append + fused kernel): logits identical to the

@@ -17,7 +17,7 @@ the chip (at 32 layers they would OOM it); Engine(weight_bits=8) quantizes
 the large dense projections to int8 on-device one weight at a time.
 
 Usage: python tools/tpu_engine_bench.py
-Env: LAYERS=32 BITS=3 SEQ=65536 STEPS=64 K=3 BLOCK=2048 WBITS=8 STACKED=0
+Env: LAYERS=32 BITS=3 SEQ=65536 STEPS=64 K=3 BLOCK=2048 WBITS=8 STACKED=0 CONTAINER=0
 """
 import sys, os, time, json
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
@@ -44,6 +44,7 @@ K = int(os.environ.get("K", 3))
 BLOCK = int(os.environ.get("BLOCK", 2048))
 WBITS = int(os.environ.get("WBITS", 8))
 STACKED = os.environ.get("STACKED", "auto")  # auto | 1 | 0
+CONTAINER = int(os.environ.get("CONTAINER", 0))  # storage field width
 
 H, NH, HD = 4096, 32, 128
 INTER, VOCAB = 11008, 32000
@@ -104,7 +105,7 @@ def main():
     n_extra = STEPS * (1 + 1 + K) * 3 + 64
     s_max = -(-(SEQ + n_extra) // BLOCK) * BLOCK
     cfg = build_cfg()
-    qcfg = QuantConfig(bits=BITS, group_size=0, sym=True)
+    qcfg = QuantConfig(bits=BITS, group_size=0, sym=True, container=CONTAINER)
     ek = {}
     if STACKED != "auto":
         ek["stacked_decode"] = STACKED == "1"
@@ -130,7 +131,7 @@ def main():
     trace_dir = os.environ.get("TRACE") or None
     res = profiler.profile_tpot_chained(eng, SEQ, n_steps=STEPS, k_calls=K,
                                         trace_dir=trace_dir)
-    res.update(layers=L, bits=BITS, seq=SEQ, s_max=s_max, weight_bits=WBITS,
+    res.update(layers=L, bits=BITS, container=CONTAINER, seq=SEQ, s_max=s_max, weight_bits=WBITS,
                stacked=bool(getattr(eng, "_stacked", False)))
     print(f"# TPOT {res['tpot_ms']:.2f} ms/step ({res['tokens_per_s']:.1f} tok/s, "
           f"{L} layers, {BITS}-bit cache, compile {res['compile_s']:.0f}s)",

@@ -11,7 +11,9 @@ host fetch closes the pipeline, so tunnel dispatch overlaps compute.
 Usage: python tools/tpu_prefill_bench.py [seqs...]  (default 4096 16384 65536)
 Env: CHUNK (2048), BITS (4; 0 = bf16 latents),
      MODE (chunked | full; full = one-shot Engine.prefill, which
-     reconstructs K/V and dispatches to the Pallas flash kernel)
+     reconstructs K/V and dispatches to the Pallas flash kernel),
+     LM (auto | 0 | 1: layer-major prefill -- reconstruct the K/V prefix
+     once per layer per run instead of once per chunk)
 """
 import os
 import sys
@@ -38,6 +40,8 @@ bits = int(os.environ.get("BITS", 4))
 mode = os.environ.get("MODE", "chunked")
 pallas = bool(int(os.environ.get("PALLAS", "1")))  # fused Pallas prefill kernel
 pblock = int(os.environ.get("PBLOCK", "0")) or None  # kernel seq block
+lm_env = os.environ.get("LM", "auto")
+lm = None if lm_env == "auto" else lm_env == "1"
 
 cfg = ModelConfig(
     vocab_size=32000,
@@ -57,11 +61,12 @@ params, cfg = compress_params(params, cfg, selection, "svd", head_group_size=4)
 
 qcfg = QuantConfig(bits=bits, group_size=0, sym=True) if bits else None
 print(f"devices: {jax.devices()}  mode={mode} chunk={chunk} "
-      f"bits={bits or 'bf16'} pallas={pallas} pblock={pblock}", flush=True)
+      f"bits={bits or 'bf16'} pallas={pallas} pblock={pblock} lm={lm_env}", flush=True)
 
 for seq in seqs:
     ecfg = EngineConfig(s_max=seq, batch=1, qcfg=qcfg, decode_chunk=chunk,
-                        use_pallas=pallas, prefill_block=pblock)
+                        use_pallas=pallas, prefill_block=pblock,
+                        layer_major_prefill=lm)
     eng = Engine(params, cfg, ecfg)
     ids = np.random.default_rng(0).integers(0, cfg.vocab_size, (1, seq))
 
