@@ -187,6 +187,18 @@ class Engine:
         while ecfg.s_max % fb:
             fb -= 1
         self._prefill_block = fb
+        # fused quantize+pack+append decode writes (ops/pallas/cache_append):
+        # rank-major per-row quantized caches at byte-aligned pack widths,
+        # unsharded engines only (the sharded append stays with GSPMD)
+        from ..ops.pallas.cache_append import append_supported
+
+        self._fused_append = (
+            ecfg.use_pallas
+            and append_supported(ecfg.qcfg)
+            and ecfg.mesh is None
+            and ecfg.seq_axis is None
+            and (ecfg.s_max % 128 == 0 or ecfg.s_max < 128)
+        )
         if ecfg.rank_major_fp and ecfg.seq_axis is not None and not ecfg.use_pallas:
             raise ValueError(
                 "rank_major_fp + seq_axis requires use_pallas: the rank-major "
@@ -1245,10 +1257,14 @@ class Engine:
                 )
             else:
                 lat = k_raw.transpose(0, 2, 1, 3)
-                entry["k"] = cache_lib.write_at_lanes_masked(
-                    entry["k"], cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype, ecfg.rank_major_fp),
-                    pos_w, writeable,
-                )
+                if self._fused_append:
+                    entry["k"] = self._append_fused(entry["k"], lat, pos_w,
+                                                    writeable)
+                else:
+                    entry["k"] = cache_lib.write_at_lanes_masked(
+                        entry["k"], cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype, ecfg.rank_major_fp),
+                        pos_w, writeable,
+                    )
             if v_dense:
                 upd = {"lat": v_raw.reshape(b, 1, nkv, hd).astype(ecfg.dtype).transpose(0, 2, 1, 3)}
                 entry["v"] = cache_lib.write_at_lanes_masked(
@@ -1256,10 +1272,14 @@ class Engine:
                 )
             else:
                 lat = v_raw.transpose(0, 2, 1, 3)
-                entry["v"] = cache_lib.write_at_lanes_masked(
-                    entry["v"], cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype, ecfg.rank_major_fp),
-                    pos_w, writeable,
-                )
+                if self._fused_append:
+                    entry["v"] = self._append_fused(entry["v"], lat, pos_w,
+                                                    writeable)
+                else:
+                    entry["v"] = cache_lib.write_at_lanes_masked(
+                        entry["v"], cache_lib._encode(lat, ecfg.qcfg, ecfg.dtype, ecfg.rank_major_fp),
+                        pos_w, writeable,
+                    )
 
             attn_out = self._decode_attention(q, entry, attn, der, kv_len, k_dense, v_dense)
             x = x + attn_out[:, None, :]
@@ -1273,6 +1293,26 @@ class Engine:
         logits = wdot(x, lm_head)
         new_cache = {"layers": new_layers, "length": kv_len}
         return logits, new_cache
+
+    def _append_fused(self, bufs, lat, pos_w, writeable):
+        """One fused Pallas op (quantize + pack + masked column write) per
+        layer side instead of the ~12-op XLA chain -- the per-step append
+        machinery was ~1.5 ms of the 35 ms 7B/64K step plus a share of the
+        inter-op scheduling gaps (docs/BENCH.md round-4 decomposition).
+        lat: (B, G, 1, rank)."""
+        from ..ops.pallas.cache_append import append_token_quantized
+
+        qcfg = self.ecfg.qcfg
+        out = append_token_quantized(
+            lat[:, :, 0, :], bufs["codes_t"], bufs["scale_t"][:, :, 0, :],
+            pos_w, writeable, qcfg=qcfg, rank=lat.shape[-1],
+            zero=None if qcfg.sym else bufs["zero_t"][:, :, 0, :],
+            interpret=self.ecfg.pallas_interpret,
+        )
+        new = {"codes_t": out[0], "scale_t": out[1][:, :, None, :]}
+        if not qcfg.sym:
+            new["zero_t"] = out[2][:, :, None, :]
+        return new
 
     def _decode_attention(self, q, entry, attn, der, kv_len, k_dense, v_dense):
         cfg, ecfg = self.cfg, self.ecfg
