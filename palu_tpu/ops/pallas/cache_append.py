@@ -117,8 +117,10 @@ def _make_kernel(g: int, rank: int, nrows: int, qcfg: QuantConfig,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
         hit = jnp.logical_and(lane == off, wr != 0)  # (1, blk)
         # packed (G, nrows) -> column layout (G, nrows, 1) via transpose of
-        # the lane/sublane roles; tiny (G x nrows) relayout
-        col = packed.astype(jnp.uint8)[:, :, None]  # (G, nrows, 1)
+        # the lane/sublane roles; minor-dim insertion must happen at 32 bit
+        # (Mosaic: "insertion of minor dim ... only supported for 32-bit
+        # types"), so reshape in int32 and narrow after
+        col = packed[:, :, None].astype(jnp.uint8)  # (G, nrows, 1)
         codes_out[...] = jnp.where(hit[None], col, codes_in[...])
         scale_out[...] = jnp.where(hit, scale, scale_in[...])
         if asym:

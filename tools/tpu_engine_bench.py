@@ -18,6 +18,9 @@ the large dense projections to int8 on-device one weight at a time.
 
 Usage: python tools/tpu_engine_bench.py
 Env: LAYERS=32 BITS=3 SEQ=65536 STEPS=64 K=3 BLOCK=2048 WBITS=8 STACKED=0 CONTAINER=0
+     TTFT=0 (1 = measure full-model chunked-prefill TTFT instead of decode
+     TPOT; LM=auto|0|1 picks layer-major vs chunk-major prefill;
+     PCHUNK prefill chunk size, default 4096)
 """
 import sys, os, time, json
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
@@ -45,6 +48,9 @@ BLOCK = int(os.environ.get("BLOCK", 2048))
 WBITS = int(os.environ.get("WBITS", 8))
 STACKED = os.environ.get("STACKED", "auto")  # auto | 1 | 0
 CONTAINER = int(os.environ.get("CONTAINER", 0))  # storage field width
+TTFT = os.environ.get("TTFT", "0") == "1"
+LM_ENV = os.environ.get("LM", "auto")
+PCHUNK = int(os.environ.get("PCHUNK", 4096))
 
 H, NH, HD = 4096, 32, 128
 INTER, VOCAB = 11008, 32000
@@ -109,6 +115,8 @@ def main():
     ek = {}
     if STACKED != "auto":
         ek["stacked_decode"] = STACKED == "1"
+    if LM_ENV != "auto":
+        ek["layer_major_prefill"] = LM_ENV == "1"
     ecfg = EngineConfig(
         s_max=s_max, batch=1, qcfg=qcfg, decode_chunk=BLOCK,
         use_pallas=True, pallas_block=BLOCK, weight_bits=WBITS, **ek,
@@ -128,6 +136,29 @@ def main():
           f"(stacked={getattr(eng, '_stacked', False)}); "
           f"mem={profiler.device_memory_stats().get('bytes_in_use', 0)/2**30:.2f} GiB",
           flush=True)
+    if TTFT:
+        ids = np.random.default_rng(1).integers(0, VOCAB, (1, SEQ))
+        t0 = time.time()
+        logits, cache = eng.prefill_chunked(ids, chunk_size=PCHUNK)
+        _ = np.asarray(logits[0, -1, :1])  # fetch closes the pipeline
+        compile_s = time.time() - t0
+        reps = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            logits, cache = eng.prefill_chunked(ids, chunk_size=PCHUNK)
+            _ = np.asarray(logits[0, -1, :1])
+            reps.append(time.perf_counter() - t0)
+        del cache
+        ttft_s = min(reps)
+        res = {"ttft_s": ttft_s, "ttft_s_per_layer": ttft_s / L,
+               "compile_s": compile_s, "prefill_chunk": PCHUNK,
+               "layer_major": LM_ENV, "layers": L, "bits": BITS,
+               "container": CONTAINER, "seq": SEQ, "weight_bits": WBITS}
+        print(f"# TTFT {ttft_s:.2f} s ({ttft_s/L*1e3:.0f} ms/layer, {L} layers, "
+              f"lm={LM_ENV}, compile {compile_s:.0f}s)", flush=True)
+        print(json.dumps(res))
+        return
+
     trace_dir = os.environ.get("TRACE") or None
     res = profiler.profile_tpot_chained(eng, SEQ, n_steps=STEPS, k_calls=K,
                                         trace_dir=trace_dir)

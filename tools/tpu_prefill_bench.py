@@ -37,6 +37,7 @@ from palu_tpu.runtime.engine import Engine, EngineConfig
 seqs = [int(x) for x in (sys.argv[1:] or ["4096", "16384", "65536"])]
 chunk = int(os.environ.get("CHUNK", 2048))
 bits = int(os.environ.get("BITS", 4))
+container = int(os.environ.get("CONTAINER", 0))
 mode = os.environ.get("MODE", "chunked")
 pallas = bool(int(os.environ.get("PALLAS", "1")))  # fused Pallas prefill kernel
 pblock = int(os.environ.get("PBLOCK", "0")) or None  # kernel seq block
@@ -59,7 +60,8 @@ selection = {
 }
 params, cfg = compress_params(params, cfg, selection, "svd", head_group_size=4)
 
-qcfg = QuantConfig(bits=bits, group_size=0, sym=True) if bits else None
+qcfg = (QuantConfig(bits=bits, group_size=0, sym=True,
+                    container=container) if bits else None)
 print(f"devices: {jax.devices()}  mode={mode} chunk={chunk} "
       f"bits={bits or 'bf16'} pallas={pallas} pblock={pblock} lm={lm_env}", flush=True)
 
