@@ -50,12 +50,14 @@ def _run_pair(unrolled, stacked, ids, n_decode=5):
     "qcfg,rank_major_fp",
     [
         (QuantConfig(bits=3, group_size=0, sym=True), False),
+        (QuantConfig(bits=3, group_size=0, sym=True, container=4), False),
         (QuantConfig(bits=4, group_size=0, sym=False), False),
         (QuantConfig(bits=4, group_size=8, sym=True), False),
         (QuantConfig(bits=3, group_size=8, sym=False), False),
         (None, True),
     ],
-    ids=["3b-sym", "4b-asym", "4b-chunked", "3b-chunked-asym", "fp-rank-major"],
+    ids=["3b-sym", "3b-in-4", "4b-asym", "4b-chunked", "3b-chunked-asym",
+         "fp-rank-major"],
 )
 def test_stacked_decode_matches_unrolled(qcfg, rank_major_fp):
     params, cfg = _lowrank_model(rank=16, gs=2)
