@@ -62,12 +62,18 @@ _ATTN_KEYS = ("q_proj", "o_proj")
 _MLP_KEYS = ("gate", "up", "down")
 
 
-def quantize_params(params) -> dict:
+def quantize_params(params, vt: bool = False) -> dict:
     """Return a copy of an engine params tree with the large dense weights
     replaced by int8 codes+scales. VT/U (the low-rank factors), biases,
-    norms, and the embedding table are left untouched. Idempotent: leaves
-    that are already quantized pass through (e.g. a ServingEngine building
-    its batch-1 prefill engine from the serving engine's params)."""
+    norms, and the embedding table are left untouched by default; vt=True
+    additionally stores the VT down-projection factors (the H x r latent
+    GEMVs, ~0.5 GB bf16 at 7B/32L) as int8 -- the latents are re-quantized
+    to 2-4 bits at the cache write anyway, so the extra error is far below
+    the cache quantizer's (EngineConfig.vt_bits=8). U / b_k stay in the
+    engine dtype (the fused kernels consume them directly). Idempotent:
+    leaves that are already quantized pass through (e.g. a ServingEngine
+    building its batch-1 prefill engine from the serving engine's
+    params)."""
 
     def q(w):
         return w if is_quantized_weight(w) else quantize_weight(w)
@@ -88,6 +94,11 @@ def quantize_params(params) -> dict:
             for wk in ("w", "w_fused"):
                 if proj.get(wk) is not None:
                     proj[wk] = q(proj[wk])
+        if vt:
+            for k in ("k_proj", "v_proj"):
+                proj = attn.get(k)
+                if proj is not None and proj.get("VT") is not None:
+                    proj["VT"] = q(proj["VT"])
         layer["attn"] = attn
         mlp = dict(layer["mlp"])
         for k in _MLP_KEYS:

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import ModelConfig
+from ..core.wquant import wdot
 
 Params = Dict[str, Any]
 
@@ -121,12 +122,12 @@ def project_kv(x: jax.Array, proj: Params) -> jax.Array:
     for uniform ranks, or flat (B, S, sum_ranks) for ragged ranks."""
     if "VT" in proj:
         b, s, _ = x.shape
-        lat = x @ proj["VT"]
+        lat = wdot(x, proj["VT"])
         if is_ragged(proj):
             return lat  # (B, S, sum_ranks); slice per group at reconstruct
         g = proj["U"].shape[0]
         return lat.reshape(b, s, g, -1)
-    out = x @ proj["w"]
+    out = wdot(x, proj["w"])
     if proj.get("b") is not None:
         out = out + proj["b"]
     return out

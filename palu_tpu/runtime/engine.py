@@ -68,6 +68,11 @@ class EngineConfig:
     # scales (core/wquant) -- halves weight HBM and weight-read time per
     # decode step; the low-rank VT/U factors stay in `dtype`
     weight_bits: int = 16
+    # 8 = additionally store the VT down-projection factors as int8
+    # (requires weight_bits=8): saves ~0.5 GB HBM at 7B/32L; the latents
+    # are re-quantized to 2-4 bits at the cache write anyway so the extra
+    # error is far below the cache quantizer's (core/wquant.py)
+    vt_bits: int = 16
     # Stack per-layer weights and cache buffers on a leading (L, ...) axis
     # and decode through ONE lax.scan layer body whose v4 kernel selects
     # the layer via a scalar-prefetched index (no per-layer cache slice).
@@ -242,6 +247,10 @@ class Engine:
             self._rope_scale = 1.0
         if ecfg.weight_bits not in (16, 8):
             raise ValueError(f"weight_bits must be 16 or 8, got {ecfg.weight_bits}")
+        if ecfg.vt_bits not in (16, 8):
+            raise ValueError(f"vt_bits must be 16 or 8, got {ecfg.vt_bits}")
+        if ecfg.vt_bits == 8 and ecfg.weight_bits != 8:
+            raise ValueError("vt_bits=8 requires weight_bits=8")
         if pre_stacked:
             # constructed from another stacked engine's params (e.g. the
             # ServingEngine's shared-params prefill engine): weights are
@@ -274,7 +283,8 @@ class Engine:
             if ecfg.weight_bits == 8:
                 # after _build_derived (which folds full-precision o_proj
                 # into the qwen2 v-bias correction and b_k)
-                self.params = wquant.quantize_params(self.params)
+                self.params = wquant.quantize_params(
+                    self.params, vt=ecfg.vt_bits == 8)
             reason = self._stacked_ineligible_reason()
             if ecfg.stacked_decode is True and reason:
                 raise ValueError(f"stacked_decode unavailable: {reason}")

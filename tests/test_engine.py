@@ -295,6 +295,25 @@ def test_engine_layer_major_force_ineligible_raises():
         eng.prefill_chunked(ids, chunk_size=4)
 
 
+def test_engine_vt_bits_int8_close_and_validated():
+    """vt_bits=8 (int8 VT down-projection factors, core/wquant.py) tracks
+    the bf16-VT engine closely -- the latents are re-quantized at the cache
+    write anyway -- and is rejected without weight_bits=8."""
+    params, cfg = _lowrank_model(seed=31, rank=16, gs=2)
+    ids = np.random.default_rng(31).integers(0, cfg.vocab_size, (1, 12))
+    outs = []
+    for vt in (16, 8):
+        eng = Engine(params, cfg, EngineConfig(
+            s_max=16, dtype=jnp.float32, decode_chunk=8,
+            weight_bits=8, vt_bits=vt))
+        outs.append(_stepwise_logits(eng, ids))
+    assert np.allclose(outs[1], outs[0], atol=0.05), \
+        np.abs(outs[1] - outs[0]).max()
+    with pytest.raises(ValueError, match="vt_bits=8 requires"):
+        Engine(params, cfg, EngineConfig(s_max=16, dtype=jnp.float32,
+                                         vt_bits=8))
+
+
 def test_engine_container_matches_exact_packing():
     """3-bit codes in a 4-bit nibble container end-to-end through the
     Engine (cache alloc + append + fused kernel): logits identical to the

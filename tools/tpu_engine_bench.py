@@ -49,6 +49,8 @@ WBITS = int(os.environ.get("WBITS", 8))
 STACKED = os.environ.get("STACKED", "auto")  # auto | 1 | 0
 CONTAINER = int(os.environ.get("CONTAINER", 0))  # storage field width
 TTFT = os.environ.get("TTFT", "0") == "1"
+FA = os.environ.get("FA", "1")  # 0 disables the fused append kernel
+VT8 = os.environ.get("VT8", "0") == "1"  # int8 VT factors (vt_bits=8)
 LM_ENV = os.environ.get("LM", "auto")
 PCHUNK = int(os.environ.get("PCHUNK", 4096))
 
@@ -119,7 +121,8 @@ def main():
         ek["layer_major_prefill"] = LM_ENV == "1"
     ecfg = EngineConfig(
         s_max=s_max, batch=1, qcfg=qcfg, decode_chunk=BLOCK,
-        use_pallas=True, pallas_block=BLOCK, weight_bits=WBITS, **ek,
+        use_pallas=True, pallas_block=BLOCK, weight_bits=WBITS,
+        vt_bits=8 if VT8 else 16, **ek,
     )
     print(f"# building params ({L} layers, host bf16)...", flush=True)
     t0 = time.time()
@@ -128,6 +131,8 @@ def main():
           f"(weight_bits={WBITS} quantizes on device)...", flush=True)
     t0 = time.time()
     eng = Engine(params, cfg, ecfg)
+    if FA == "0":
+        eng._fused_append = False
     # move the remaining host leaves to device ONCE (jit args in numpy form
     # would re-upload every call and pollute the timing)
     eng.params = jax.tree.map(jnp.asarray, eng.params)
@@ -162,7 +167,7 @@ def main():
     trace_dir = os.environ.get("TRACE") or None
     res = profiler.profile_tpot_chained(eng, SEQ, n_steps=STEPS, k_calls=K,
                                         trace_dir=trace_dir)
-    res.update(layers=L, bits=BITS, container=CONTAINER, seq=SEQ, s_max=s_max, weight_bits=WBITS,
+    res.update(layers=L, bits=BITS, container=CONTAINER, fused_append=eng._fused_append, seq=SEQ, s_max=s_max, weight_bits=WBITS,
                stacked=bool(getattr(eng, "_stacked", False)))
     print(f"# TPOT {res['tpot_ms']:.2f} ms/step ({res['tokens_per_s']:.1f} tok/s, "
           f"{L} layers, {BITS}-bit cache, compile {res['compile_s']:.0f}s)",
