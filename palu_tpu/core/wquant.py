@@ -26,7 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize_weight", "is_quantized_weight", "wdot", "quantize_params"]
+__all__ = ["quantize_weight", "is_quantized_weight", "wdot", "quantize_params",
+           "quantize_embed", "embed_rows", "embed_dim", "tied_head"]
 
 
 def quantize_weight(w) -> dict:
@@ -62,7 +63,7 @@ _ATTN_KEYS = ("q_proj", "o_proj")
 _MLP_KEYS = ("gate", "up", "down")
 
 
-def quantize_params(params, vt: bool = False) -> dict:
+def quantize_params(params, vt: bool = False, embed: bool = False) -> dict:
     """Return a copy of an engine params tree with the large dense weights
     replaced by int8 codes+scales. VT/U (the low-rank factors), biases,
     norms, and the embedding table are left untouched by default; vt=True
@@ -108,4 +109,48 @@ def quantize_params(params, vt: bool = False) -> dict:
     out["layers"] = layers
     if params.get("lm_head") is not None:
         out["lm_head"] = q(params["lm_head"])
+    if embed and not (isinstance(params["embed"], dict)
+                      and "eq8" in params["embed"]):
+        out["embed"] = quantize_embed(params["embed"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding storage (EngineConfig.embed_bits=8)
+# ---------------------------------------------------------------------------
+#
+# The embedding table is the one large weight the projections story misses
+# (V x H bf16 = 262 MB at 7B). Per-VOCAB-ROW symmetric scales serve both
+# uses of the table: the token lookup dequantizes its row with one scalar,
+# and the tied lm_head (embed.T) becomes a standard wdot with per-output
+# scales (ws = es.T).
+
+
+def quantize_embed(e) -> dict:
+    """(V, H) float -> {"eq8": int8 codes, "es": (V, 1) f32 row scales}."""
+    ef = jnp.asarray(e, jnp.float32)
+    s = jnp.max(jnp.abs(ef), axis=1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-30)
+    return {"eq8": jnp.round(ef / s).astype(jnp.int8), "es": s}
+
+
+def embed_rows(emb, ids, dtype) -> jax.Array:
+    """Token-id lookup for a plain or int8-quantized embedding table."""
+    if isinstance(emb, dict) and "eq8" in emb:
+        return (emb["eq8"][ids] * emb["es"][ids]).astype(dtype)
+    return emb[ids].astype(dtype)
+
+
+def embed_dim(emb) -> int:
+    return (emb["eq8"] if isinstance(emb, dict) and "eq8" in emb else emb).shape[1]
+
+
+def tied_head(params):
+    """The lm_head operand for wdot: the explicit head if present, else the
+    (possibly int8) embedding table transposed (weight tying)."""
+    if params.get("lm_head") is not None:
+        return params["lm_head"]
+    emb = params["embed"]
+    if isinstance(emb, dict) and "eq8" in emb:
+        return {"wq8": emb["eq8"].T, "ws": emb["es"].T}
+    return emb.T

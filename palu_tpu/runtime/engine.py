@@ -73,6 +73,10 @@ class EngineConfig:
     # are re-quantized to 2-4 bits at the cache write anyway so the extra
     # error is far below the cache quantizer's (core/wquant.py)
     vt_bits: int = 16
+    # 8 = int8 embedding table with per-vocab-row scales (requires
+    # weight_bits=8): halves the V x H table (262 -> 131 MB at 7B) and
+    # covers the tied lm_head via the transposed codes (core/wquant.py)
+    embed_bits: int = 16
     # Stack per-layer weights and cache buffers on a leading (L, ...) axis
     # and decode through ONE lax.scan layer body whose v4 kernel selects
     # the layer via a scalar-prefetched index (no per-layer cache slice).
@@ -251,6 +255,10 @@ class Engine:
             raise ValueError(f"vt_bits must be 16 or 8, got {ecfg.vt_bits}")
         if ecfg.vt_bits == 8 and ecfg.weight_bits != 8:
             raise ValueError("vt_bits=8 requires weight_bits=8")
+        if ecfg.embed_bits not in (16, 8):
+            raise ValueError(f"embed_bits must be 16 or 8, got {ecfg.embed_bits}")
+        if ecfg.embed_bits == 8 and ecfg.weight_bits != 8:
+            raise ValueError("embed_bits=8 requires weight_bits=8")
         if pre_stacked:
             # constructed from another stacked engine's params (e.g. the
             # ServingEngine's shared-params prefill engine): weights are
@@ -284,7 +292,8 @@ class Engine:
                 # after _build_derived (which folds full-precision o_proj
                 # into the qwen2 v-bias correction and b_k)
                 self.params = wquant.quantize_params(
-                    self.params, vt=ecfg.vt_bits == 8)
+                    self.params, vt=ecfg.vt_bits == 8,
+                    embed=ecfg.embed_bits == 8)
             reason = self._stacked_ineligible_reason()
             if ecfg.stacked_decode is True and reason:
                 raise ValueError(f"stacked_decode unavailable: {reason}")
@@ -479,7 +488,7 @@ class Engine:
             return self._prefill_impl_stacked(params, cache, input_ids, last_pos)
         cfg, ecfg = self.cfg, self.ecfg
         b, s = input_ids.shape
-        x = params["embed"][input_ids].astype(ecfg.dtype)
+        x = wquant.embed_rows(params["embed"], input_ids, ecfg.dtype)
         positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
         cos, sin = llama.rope_cos_sin_for(cfg, positions)
         nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -544,7 +553,7 @@ class Engine:
             new_layers.append(entry)
 
         x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
+        lm_head = wquant.tied_head(params)
         x_last = jnp.take_along_axis(x, last_pos[:, None, None], axis=1)  # (B,1,H)
         logits = wdot(x_last, lm_head)
         new_cache = {"layers": new_layers, "length": (last_pos + 1).astype(jnp.int32)}
@@ -557,7 +566,7 @@ class Engine:
         all-low-rank k/v."""
         cfg, ecfg = self.cfg, self.ecfg
         b, s = input_ids.shape
-        x = params["embed"][input_ids].astype(ecfg.dtype)
+        x = wquant.embed_rows(params["embed"], input_ids, ecfg.dtype)
         positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
         cos, sin = llama.rope_cos_sin_for(cfg, positions)
         nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -612,7 +621,7 @@ class Engine:
             x = x + llama.mlp_forward(h2, wl["mlp"])
 
         x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
+        lm_head = wquant.tied_head(params)
         x_last = jnp.take_along_axis(x, last_pos[:, None, None], axis=1)
         logits = wdot(x_last, lm_head)
         return logits, {
@@ -631,7 +640,7 @@ class Engine:
             return self._prefill_chunk_body_stacked(params, cache, ids_chunk, offset)
         cfg, ecfg = self.cfg, self.ecfg
         b, s = ids_chunk.shape
-        x = params["embed"][ids_chunk].astype(ecfg.dtype)
+        x = wquant.embed_rows(params["embed"], ids_chunk, ecfg.dtype)
         nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
         positions = offset[:, None] + jnp.arange(s)[None, :]
         cos, sin = llama.rope_cos_sin_for(cfg, positions)
@@ -707,7 +716,7 @@ class Engine:
         attention as the per-layer engine."""
         cfg, ecfg = self.cfg, self.ecfg
         b, s = ids_chunk.shape
-        x = params["embed"][ids_chunk].astype(ecfg.dtype)
+        x = wquant.embed_rows(params["embed"], ids_chunk, ecfg.dtype)
         nh, hd = cfg.num_attention_heads, cfg.head_dim
         positions = offset[:, None] + jnp.arange(s)[None, :]
         cos, sin = llama.rope_cos_sin_for(cfg, positions)
@@ -777,7 +786,7 @@ class Engine:
         pos = cache["length"]
         writeable = jnp.logical_and(active, pos < ecfg.s_max)
         pos_w = jnp.minimum(pos, ecfg.s_max - 1)
-        x = params["embed"][token_ids].astype(ecfg.dtype)  # (B, 1, H)
+        x = wquant.embed_rows(params["embed"], token_ids, ecfg.dtype)  # (B, 1, H)
         nh, hd = cfg.num_attention_heads, cfg.head_dim
         cos, sin = llama.rope_cos_sin_for(cfg, pos[:, None])
         kv_len = jnp.where(writeable, pos + 1, pos)
@@ -869,13 +878,13 @@ class Engine:
             xs["o_corr"] = self._ocorr_stack
         (x, stack), _ = jax.lax.scan(layer, (x, cache["stack"]), xs)
         x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
+        lm_head = wquant.tied_head(params)
         logits = wdot(x, lm_head)
         return logits, {"stack": stack, "length": kv_len}
 
     def _lm_head_logits(self, params, x):
         x = llama.rms_norm(x, params["final_norm"], self.cfg.rms_norm_eps)
-        lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
+        lm_head = wquant.tied_head(params)
         return wdot(x, lm_head)
 
     def _prefill_chunk_impl(self, params, cache, ids_chunk, offset):
@@ -897,7 +906,7 @@ class Engine:
             x, cache = self._prefill_chunk_body(params, cache, ids_chunk, off)
             return (cache, x), None
 
-        x0 = jnp.zeros((b, chunk, params["embed"].shape[1]), self.ecfg.dtype)
+        x0 = jnp.zeros((b, chunk, wquant.embed_dim(params["embed"])), self.ecfg.dtype)
         (cache, x), _ = jax.lax.scan(
             body, (cache, x0),
             (jnp.arange(n), ids.transpose(1, 0, 2)),
@@ -932,7 +941,7 @@ class Engine:
         run = m * C
         nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                        cfg.head_dim)
-        x = params["embed"][ids.reshape(b, run)].astype(ecfg.dtype)
+        x = wquant.embed_rows(params["embed"], ids.reshape(b, run), ecfg.dtype)
         positions = base_offset[:, None] + jnp.arange(run)[None, :]
         cos_all, sin_all = llama.rope_cos_sin_for(cfg, positions)
 
@@ -1232,7 +1241,7 @@ class Engine:
         pos = cache["length"]  # (B,) per-lane lengths
         writeable = jnp.logical_and(active, pos < ecfg.s_max)  # (B,)
         pos_w = jnp.minimum(pos, ecfg.s_max - 1)
-        x = params["embed"][token_ids].astype(ecfg.dtype)  # (B, 1, H)
+        x = wquant.embed_rows(params["embed"], token_ids, ecfg.dtype)  # (B, 1, H)
         nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
         positions = pos[:, None]  # (B, 1)
         cos, sin = llama.rope_cos_sin_for(cfg, positions)
@@ -1299,7 +1308,7 @@ class Engine:
             new_layers.append(entry)
 
         x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        lm_head = params["lm_head"] if params.get("lm_head") is not None else params["embed"].T
+        lm_head = wquant.tied_head(params)
         logits = wdot(x, lm_head)
         new_cache = {"layers": new_layers, "length": kv_len}
         return logits, new_cache

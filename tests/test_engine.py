@@ -314,6 +314,26 @@ def test_engine_vt_bits_int8_close_and_validated():
                                          vt_bits=8))
 
 
+def test_engine_embed_bits_int8_close_and_tied_head():
+    """embed_bits=8: int8 embedding rows + the tied lm_head through the
+    transposed codes stay close to the bf16 table."""
+    params, cfg = _lowrank_model(seed=33, rank=16, gs=2)
+    tied = dict(params)
+    tied["lm_head"] = None  # force weight tying through the embed table
+    ids = np.random.default_rng(33).integers(0, cfg.vocab_size, (1, 12))
+    outs = []
+    for eb in (16, 8):
+        eng = Engine(tied, cfg, EngineConfig(
+            s_max=16, dtype=jnp.float32, decode_chunk=8,
+            weight_bits=8, embed_bits=eb))
+        outs.append(_stepwise_logits(eng, ids))
+    assert np.allclose(outs[1], outs[0], atol=0.05), \
+        np.abs(outs[1] - outs[0]).max()
+    with pytest.raises(ValueError, match="embed_bits=8 requires"):
+        Engine(params, cfg, EngineConfig(s_max=16, dtype=jnp.float32,
+                                         embed_bits=8))
+
+
 def test_engine_container_matches_exact_packing():
     """3-bit codes in a 4-bit nibble container end-to-end through the
     Engine (cache alloc + append + fused kernel): logits identical to the
