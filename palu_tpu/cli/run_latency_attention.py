@@ -58,6 +58,8 @@ def main():
     parser.add_argument("--total_rank_k", type=int, default=1024)
     parser.add_argument("--total_rank_v", type=int, default=3072)
     parser.add_argument("--lt_bits", type=int, default=16)
+    parser.add_argument("--lt_sym", action="store_true")
+    parser.add_argument("--lt_container", type=int, default=0)
     parser.add_argument("--decode_chunk", type=int, default=512)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--no_pallas", action="store_true")
@@ -73,7 +75,9 @@ def main():
 
     params, cfg = build_model(args)
     s_max = ((args.prompt_len + args.n_steps + 16) // args.decode_chunk + 1) * args.decode_chunk
-    qcfg = QuantConfig(bits=args.lt_bits) if args.lt_bits < 16 else None
+    qcfg = (QuantConfig(bits=args.lt_bits, sym=getattr(args, 'lt_sym', False),
+                    container=getattr(args, 'lt_container', 0))
+        if args.lt_bits < 16 else None)
     engine = Engine(
         params, cfg,
         EngineConfig(

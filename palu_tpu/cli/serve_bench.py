@@ -28,6 +28,8 @@ def main():
     parser.add_argument("--group_size", type=int, default=4)
     parser.add_argument("--rank", type=int, default=128)
     parser.add_argument("--lt_bits", type=int, default=16)
+    parser.add_argument("--lt_sym", action="store_true")
+    parser.add_argument("--lt_container", type=int, default=0)
     parser.add_argument("--weight_bits", type=int, default=16,
                         help="8 = int8 weight-only storage (core/wquant)")
     parser.add_argument("--vocab_size", type=int, default=32000)
@@ -72,7 +74,9 @@ def main():
         head_wise_ranks=hwr,
     )
     params = llama.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
-    qcfg = QuantConfig(bits=args.lt_bits) if args.lt_bits < 16 else None
+    qcfg = (QuantConfig(bits=args.lt_bits, sym=getattr(args, 'lt_sym', False),
+                    container=getattr(args, 'lt_container', 0))
+        if args.lt_bits < 16 else None)
     srv = ServingEngine(
         params, cfg,
         EngineConfig(s_max=args.s_max, batch=args.lanes, dtype=jnp.bfloat16,
