@@ -159,6 +159,14 @@ def append_token_quantized(
     assert codes.shape == (b, g, nrows, s_max)
     blk = min(128, s_max)
     assert s_max % blk == 0
+    # scale/zero arrive either squeezed (B, G, S) (stacked layout) or with
+    # the per-row unit n_sc axis (B, G, 1, S) (standard layout); taking the
+    # 4D buffer DIRECTLY matters for in-place aliasing -- a pre-kernel
+    # [:, :, 0, :] squeeze materializes a slice copy that XLA then has to
+    # copy back to satisfy the alias (measured ~1 ms/step of copy/slice
+    # traffic at 7B, docs/BENCH.md round-4)
+    unit_sc = scale.ndim == 4
+    assert scale.shape == ((b, g, 1, s_max) if unit_sc else (b, g, s_max))
 
     def blk_idx(bi, p, w):
         return (bi, 0, 0, p[bi] // blk)
@@ -166,15 +174,21 @@ def append_token_quantized(
     def blk_idx_s(bi, p, w):
         return (bi, 0, p[bi] // blk)
 
+    def blk_idx_s4(bi, p, w):
+        return (bi, 0, 0, p[bi] // blk)
+
+    sc_spec = (pl.BlockSpec((None, g, None, blk), blk_idx_s4) if unit_sc
+               else pl.BlockSpec((None, g, blk), blk_idx_s))
+
     kernel = _make_kernel(g, rank, nrows, qcfg, asym, blk)
     in_specs = [
         pl.BlockSpec((1, g, rank), lambda bi, *_: (bi, 0, 0)),
         pl.BlockSpec((None, g, nrows, blk), blk_idx),
-        pl.BlockSpec((None, g, blk), blk_idx_s),
+        sc_spec,
     ]
     out_specs = [
         pl.BlockSpec((None, g, nrows, blk), blk_idx),
-        pl.BlockSpec((None, g, blk), blk_idx_s),
+        sc_spec,
     ]
     out_shapes = [
         jax.ShapeDtypeStruct(codes.shape, codes.dtype),
@@ -185,8 +199,8 @@ def append_token_quantized(
     # first: pos, writeable, then lat)
     aliases = {3: 0, 4: 1}
     if asym:
-        in_specs.append(pl.BlockSpec((None, g, blk), blk_idx_s))
-        out_specs.append(pl.BlockSpec((None, g, blk), blk_idx_s))
+        in_specs.append(sc_spec)
+        out_specs.append(sc_spec)
         out_shapes.append(jax.ShapeDtypeStruct(zero.shape, jnp.float32))
         args.append(zero.astype(jnp.float32))
         aliases[5] = 2

@@ -1322,15 +1322,18 @@ class Engine:
         from ..ops.pallas.cache_append import append_token_quantized
 
         qcfg = self.ecfg.qcfg
+        # scale/zero buffers pass VERBATIM (with their unit n_sc axis): a
+        # pre-kernel squeeze would materialize slice copies around the
+        # in-place alias (cache_append docstring)
         out = append_token_quantized(
-            lat[:, :, 0, :], bufs["codes_t"], bufs["scale_t"][:, :, 0, :],
+            lat[:, :, 0, :], bufs["codes_t"], bufs["scale_t"],
             pos_w, writeable, qcfg=qcfg, rank=lat.shape[-1],
-            zero=None if qcfg.sym else bufs["zero_t"][:, :, 0, :],
+            zero=None if qcfg.sym else bufs["zero_t"],
             interpret=self.ecfg.pallas_interpret,
         )
-        new = {"codes_t": out[0], "scale_t": out[1][:, :, None, :]}
+        new = {"codes_t": out[0], "scale_t": out[1]}
         if not qcfg.sym:
-            new["zero_t"] = out[2][:, :, None, :]
+            new["zero_t"] = out[2]
         return new
 
     def _decode_attention(self, q, entry, attn, der, kv_len, k_dense, v_dense):

@@ -40,20 +40,31 @@ def test_append_matches_xla_path(bits, container, sym):
     wr = jnp.asarray([True, True, False])
 
     want = _xla_append(lat, dict(bufs), pos, wr, qcfg)
+    # 4D scale/zero buffers pass verbatim (the engine path)
     got = append_token_quantized(
-        lat, bufs["codes_t"], bufs["scale_t"][:, :, 0, :], pos, wr,
+        lat, bufs["codes_t"], bufs["scale_t"], pos, wr,
         qcfg=qcfg, rank=rank,
-        zero=None if sym else bufs["zero_t"][:, :, 0, :],
+        zero=None if sym else bufs["zero_t"],
         interpret=True,
     )
     codes, scale = got[0], got[1]
     np.testing.assert_array_equal(np.asarray(codes),
                                   np.asarray(want["codes_t"]))
     np.testing.assert_array_equal(np.asarray(scale),
-                                  np.asarray(want["scale_t"][:, :, 0, :]))
+                                  np.asarray(want["scale_t"]))
     if not sym:
         np.testing.assert_array_equal(np.asarray(got[2]),
-                                      np.asarray(want["zero_t"][:, :, 0, :]))
+                                      np.asarray(want["zero_t"]))
+    # squeezed 3D scales (the stacked layout) give identical results
+    got3 = append_token_quantized(
+        lat, bufs["codes_t"], bufs["scale_t"][:, :, 0, :], pos, wr,
+        qcfg=qcfg, rank=rank,
+        zero=None if sym else bufs["zero_t"][:, :, 0, :],
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got3[0]), np.asarray(codes))
+    np.testing.assert_array_equal(np.asarray(got3[1]),
+                                  np.asarray(scale[:, :, 0, :]))
 
 
 def test_append_unsupported_configs():
@@ -75,7 +86,7 @@ def test_append_masked_lane_is_bit_preserved():
     pos = jnp.asarray([5, 5], jnp.int32)
     wr = jnp.asarray([False, True])
     codes, scale = append_token_quantized(
-        lat, bufs["codes_t"], bufs["scale_t"][:, :, 0, :], pos, wr,
+        lat, bufs["codes_t"], bufs["scale_t"], pos, wr,
         qcfg=qcfg, rank=rank, interpret=True)
     np.testing.assert_array_equal(np.asarray(codes)[0], before["codes_t"][0])
     assert not np.array_equal(np.asarray(codes)[1], before["codes_t"][1])
