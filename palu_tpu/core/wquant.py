@@ -1,4 +1,4 @@
-"""Int8 weight-only storage for serving.
+"""Int8 / int4 weight-only storage for serving.
 
 Orthogonal to Palu's KV compression (the reference compresses only the
 KV cache): decode at bs=1 is a chain of memory-bound GEMVs over the model
@@ -19,6 +19,15 @@ Dequant happens inside the matmul: `x @ codes.astype(bf16)` lets XLA fuse
 the int8->bf16 convert into the dot's operand read (weight-only-quant
 pattern), then one scale row multiplies the (.., out) result. There is no
 separate dequantized copy of the weights in HBM.
+
+`weight_bits=4` (quantize_weight4) goes one step further: two 4-bit codes
+per byte along the INPUT dim (rows i and i + in/2 share a byte, so the
+unpack is two contiguous row blocks, never an interleave) with per-
+(128-row-group, output-channel) scales -- the group granularity standard
+weight-only-int4 schemes (GPTQ/AWQ-class) need for acceptable error.
+Codes are unsigned 0..15; the symmetric offset 8 is folded out of the dot
+algebraically: y = sum_g (x_g @ q_g) * s[g] - 8 * sum(x_g) * s[g], so the
+unpacked operand feeds the MXU without a re-centering pass.
 """
 
 from __future__ import annotations
@@ -26,8 +35,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize_weight", "is_quantized_weight", "wdot", "quantize_params",
-           "quantize_embed", "embed_rows", "embed_dim", "tied_head"]
+__all__ = ["quantize_weight", "quantize_weight4", "is_quantized_weight",
+           "wdot", "quantize_params", "quantize_embed", "embed_rows",
+           "embed_dim", "tied_head", "W4_GROUP"]
+
+W4_GROUP = 128  # rows per int4 scale group (along the contraction dim)
 
 
 def quantize_weight(w) -> dict:
@@ -39,13 +51,76 @@ def quantize_weight(w) -> dict:
     return {"wq8": jnp.round(wf / s).astype(jnp.int8), "ws": s}
 
 
+def quantize_weight4(w, group: int = W4_GROUP) -> dict:
+    """(in, out) float -> {"wq4": uint8 (in/2, out) packed codes,
+    "ws": (in/group, out) f32 scales}, symmetric per-(group, out-channel).
+
+    Packing is WITHIN each 128-row scale group: rows r and r + group/2 of
+    a group share a byte (low/high nibble), so any tile aligned to whole
+    groups -- the Pallas kernels contract 128-row groups one at a time --
+    unpacks to two contiguous half-group blocks with one mask and one
+    shift, never an interleave, regardless of where the tile starts."""
+    wf = jnp.asarray(w, jnp.float32)
+    n_in, n_out = wf.shape
+    # production shapes are multiples of 256 and use the 128-row group the
+    # Pallas kernels require; tiny (test) shapes shrink the group so the
+    # XLA path still works
+    while group > 2 and n_in % (2 * group) != 0:
+        group //= 2
+    if n_in % (2 * group) != 0:
+        raise ValueError(f"in-dim {n_in} must be a multiple of {2 * group}")
+    n_g = n_in // group
+    s = jnp.max(jnp.abs(wf.reshape(n_g, group, n_out)),
+                axis=1) / 7.0  # codes -8..7; clip the -8 corner to +/-7
+    s = jnp.maximum(s, 1e-30)
+    q = jnp.clip(jnp.round(wf.reshape(n_g, group, n_out) / s[:, None, :]),
+                 -8, 7)
+    u = (q + 8).astype(jnp.uint8).reshape(n_g, 2, group // 2, n_out)
+    packed = (u[:, 0] | (u[:, 1] << 4)).reshape(n_in // 2, n_out)
+    return {"wq4": packed, "ws": s}
+
+
+def w4_group(w) -> int:
+    """Rows per scale group of a {"wq4", "ws"} weight."""
+    return (2 * w["wq4"].shape[0]) // w["ws"].shape[0]
+
+
 def is_quantized_weight(w) -> bool:
-    return isinstance(w, dict) and "wq8" in w
+    return isinstance(w, dict) and ("wq8" in w or "wq4" in w)
+
+
+def unpack_weight4(w) -> jax.Array:
+    """{"wq4", "ws"} -> dequantized (in, out) f32 weights (XLA path; the
+    decode hot loop uses ops/pallas/gemv_int4 instead)."""
+    u = w["wq4"]
+    n_out = u.shape[1]
+    n_g = w["ws"].shape[0]
+    g = (2 * u.shape[0]) // n_g
+    ub = u.reshape(n_g, g // 2, n_out)
+    codes = jnp.stack([ub & 0xF, ub >> 4], axis=1).astype(jnp.float32) - 8.0
+    return (codes.reshape(n_g, g, n_out)
+            * w["ws"][:, None, :]).reshape(n_g * g, n_out)
 
 
 def wdot(x: jax.Array, w) -> jax.Array:
     """x @ w over the last axis of x; w is either a plain array or a
-    quantized {"wq8", "ws"} dict."""
+    quantized {"wq8"|"wq4", "ws"} dict."""
+    if isinstance(w, dict) and "wq4" in w:
+        import os as _os
+
+        import numpy as _np
+
+        if (_os.environ.get("PALU_GEMV_KERNEL", "1") != "0"
+                and int(_np.prod(x.shape[:-1])) <= 8
+                and jax.default_backend() == "tpu"
+                and w["wq4"].shape[1] % 128 == 0
+                and w4_group(w) == W4_GROUP):
+            from ..ops.pallas.gemv_int4 import gemv_int4
+
+            lead = x.shape[:-1]
+            y = gemv_int4(x.reshape(-1, x.shape[-1]), w)
+            return y.reshape(*lead, y.shape[-1])
+        return (x @ unpack_weight4(w).astype(x.dtype)).astype(x.dtype)
     if is_quantized_weight(w):
         # codes cast to the activation dtype (int8 values are exact in
         # bf16/f32); the convert fuses into the dot's operand read on TPU
@@ -63,7 +138,8 @@ _ATTN_KEYS = ("q_proj", "o_proj")
 _MLP_KEYS = ("gate", "up", "down")
 
 
-def quantize_params(params, vt: bool = False, embed: bool = False) -> dict:
+def quantize_params(params, vt: bool = False, embed: bool = False,
+                    bits: int = 8) -> dict:
     """Return a copy of an engine params tree with the large dense weights
     replaced by int8 codes+scales. VT/U (the low-rank factors), biases,
     norms, and the embedding table are left untouched by default; vt=True
@@ -74,10 +150,18 @@ def quantize_params(params, vt: bool = False, embed: bool = False) -> dict:
     engine dtype (the fused kernels consume them directly). Idempotent:
     leaves that are already quantized pass through (e.g. a ServingEngine
     building its batch-1 prefill engine from the serving engine's
-    params)."""
+    params).
+
+    bits=4 stores the large dense projections (and lm_head) as packed
+    int4 with per-group scales (quantize_weight4); VT and the embedding
+    stay int8 -- they are nearer the accuracy-critical low-rank path."""
+    if bits not in (8, 4):
+        raise ValueError(f"weight bits must be 8 or 4, got {bits}")
 
     def q(w):
-        return w if is_quantized_weight(w) else quantize_weight(w)
+        if is_quantized_weight(w):
+            return w
+        return quantize_weight4(w) if bits == 4 else quantize_weight(w)
 
     out = dict(params)
     layers = []
@@ -99,7 +183,8 @@ def quantize_params(params, vt: bool = False, embed: bool = False) -> dict:
             for k in ("k_proj", "v_proj"):
                 proj = attn.get(k)
                 if proj is not None and proj.get("VT") is not None:
-                    proj["VT"] = q(proj["VT"])
+                    if not is_quantized_weight(proj["VT"]):
+                        proj["VT"] = quantize_weight(proj["VT"])  # int8 always
         layer["attn"] = attn
         mlp = dict(layer["mlp"])
         for k in _MLP_KEYS:

@@ -245,19 +245,32 @@ def mlp_forward(x: jax.Array, p: Params) -> jax.Array:
         mode != "0"
         and all(is_quantized_weight(p[k]) for k in ("gate", "up", "down"))
         and int(np.prod(x.shape[:-1])) <= 8
-        and p["gate"]["wq8"].shape[1] % 128 == 0
         and (jax.default_backend() == "tpu" or mode == "force")
     ):
         # decode-sized inputs on TPU: one fused streaming pass over the
-        # int8 weights (ops/pallas/gemv_int8) instead of three XLA GEMVs
-        # whose scheduling inside the scanned layer body leaves ~40% of
-        # HBM bandwidth idle (docs/BENCH.md round-3 decomposition)
-        from ..ops.pallas.gemv_int8 import mlp_gemv_int8
-
+        # int8/int4 weights (ops/pallas/gemv_int8 / gemv_int4) instead of
+        # three XLA GEMVs whose scheduling inside the scanned layer body
+        # leaves ~40% of HBM bandwidth idle (docs/BENCH.md round-3
+        # decomposition)
         lead = x.shape[:-1]
-        out = mlp_gemv_int8(x.reshape(-1, x.shape[-1]), p["gate"], p["up"],
-                            p["down"], interpret=jax.default_backend() != "tpu")
-        return out.reshape(*lead, out.shape[-1])
+        interp = jax.default_backend() != "tpu"
+        if "wq4" in p["gate"]:
+            from ..core.wquant import W4_GROUP, w4_group
+
+            if (p["gate"]["wq4"].shape[1] % 128 == 0
+                    and all(w4_group(p[k]) == W4_GROUP
+                            for k in ("gate", "up", "down"))):
+                from ..ops.pallas.gemv_int4 import mlp_gemv_int4
+
+                out = mlp_gemv_int4(x.reshape(-1, x.shape[-1]), p["gate"],
+                                    p["up"], p["down"], interpret=interp)
+                return out.reshape(*lead, out.shape[-1])
+        elif p["gate"]["wq8"].shape[1] % 128 == 0:
+            from ..ops.pallas.gemv_int8 import mlp_gemv_int8
+
+            out = mlp_gemv_int8(x.reshape(-1, x.shape[-1]), p["gate"],
+                                p["up"], p["down"], interpret=interp)
+            return out.reshape(*lead, out.shape[-1])
 
     gate = wdot(x, p["gate"])
     up = wdot(x, p["up"])

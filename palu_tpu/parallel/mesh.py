@@ -60,6 +60,10 @@ def _wq_aware(leaf, ns, *spec):
     from ..core.wquant import is_quantized_weight
 
     if is_quantized_weight(leaf):
+        if "wq4" in leaf:
+            # packed codes shard like the weight; the (in/128, out) group
+            # scales shard on BOTH axes the same way (groups live along in)
+            return {"wq4": ns(*spec), "ws": ns(*spec)}
         return {"wq8": ns(*spec), "ws": ns(None, spec[-1] if spec else None)}
     return ns(*spec)
 

@@ -66,7 +66,10 @@ class EngineConfig:
     # 16 = keep weights in `dtype`; 8 = store the large dense projections
     # (q_proj, o_proj/fused, MLP, lm_head) as int8 codes + per-channel
     # scales (core/wquant) -- halves weight HBM and weight-read time per
-    # decode step; the low-rank VT/U factors stay in `dtype`
+    # decode step; 4 = packed int4 codes with per-(128-group, channel)
+    # scales (GPTQ/AWQ-class storage; ops/pallas/gemv_int4 streams them
+    # at half the int8 byte count). The low-rank VT/U factors stay in
+    # `dtype` either way (vt_bits=8 opts VT into int8).
     weight_bits: int = 16
     # 8 = additionally store the VT down-projection factors as int8
     # (requires weight_bits=8): saves ~0.5 GB HBM at 7B/32L; the latents
@@ -249,16 +252,16 @@ class Engine:
             self._inv_freq = None
             self._inv_freq_static = None
             self._rope_scale = 1.0
-        if ecfg.weight_bits not in (16, 8):
-            raise ValueError(f"weight_bits must be 16 or 8, got {ecfg.weight_bits}")
+        if ecfg.weight_bits not in (16, 8, 4):
+            raise ValueError(f"weight_bits must be 16, 8 or 4, got {ecfg.weight_bits}")
         if ecfg.vt_bits not in (16, 8):
             raise ValueError(f"vt_bits must be 16 or 8, got {ecfg.vt_bits}")
-        if ecfg.vt_bits == 8 and ecfg.weight_bits != 8:
-            raise ValueError("vt_bits=8 requires weight_bits=8")
+        if ecfg.vt_bits == 8 and ecfg.weight_bits == 16:
+            raise ValueError("vt_bits=8 requires weight_bits=8 or 4")
         if ecfg.embed_bits not in (16, 8):
             raise ValueError(f"embed_bits must be 16 or 8, got {ecfg.embed_bits}")
-        if ecfg.embed_bits == 8 and ecfg.weight_bits != 8:
-            raise ValueError("embed_bits=8 requires weight_bits=8")
+        if ecfg.embed_bits == 8 and ecfg.weight_bits == 16:
+            raise ValueError("embed_bits=8 requires weight_bits=8 or 4")
         if pre_stacked:
             # constructed from another stacked engine's params (e.g. the
             # ServingEngine's shared-params prefill engine): weights are
@@ -288,12 +291,12 @@ class Engine:
             self._build_derived_stacks()
         else:
             self.derived = self._build_derived()
-            if ecfg.weight_bits == 8:
+            if ecfg.weight_bits in (8, 4):
                 # after _build_derived (which folds full-precision o_proj
                 # into the qwen2 v-bias correction and b_k)
                 self.params = wquant.quantize_params(
                     self.params, vt=ecfg.vt_bits == 8,
-                    embed=ecfg.embed_bits == 8)
+                    embed=ecfg.embed_bits == 8, bits=ecfg.weight_bits)
             reason = self._stacked_ineligible_reason()
             if ecfg.stacked_decode is True and reason:
                 raise ValueError(f"stacked_decode unavailable: {reason}")
@@ -303,10 +306,10 @@ class Engine:
             if self._stacked:
                 new_params = dict(self.params)
                 layers = new_params.pop("layers")
-                # weight_bits == 8: quantize_params built a fresh device
+                # weight_bits 8/4: quantize_params built a fresh device
                 # tree only we reference -> release leaves while stacking
                 new_params["layers_stacked"] = _stack_layers(
-                    layers, owned=ecfg.weight_bits == 8
+                    layers, owned=ecfg.weight_bits in (8, 4)
                 )
                 self.params = new_params
                 self._build_derived_stacks()
@@ -432,18 +435,26 @@ class Engine:
                 if wquant.is_quantized_weight(o_w):
                     # engine built from already-quantized params (e.g. the
                     # ServingEngine's shared-params prefill engine)
-                    o_w = np.asarray(o_w["wq8"], np.float32) * np.asarray(
-                        o_w["ws"], np.float32
-                    )
+                    if "wq4" in o_w:
+                        o_w = np.asarray(wquant.unpack_weight4(o_w), np.float32)
+                    else:
+                        o_w = np.asarray(o_w["wq8"], np.float32) * np.asarray(
+                            o_w["ws"], np.float32
+                        )
                 else:
-                    if self.ecfg.weight_bits == 8:
+                    if self.ecfg.weight_bits in (8, 4):
                         # derive corr from the SAME dequantized codes a
                         # rebuild from quantized params sees, so first-build
                         # and rebuilt engines compute identical logits
-                        qw = wquant.quantize_weight(o_w)
-                        o_w = np.asarray(qw["wq8"], np.float32) * np.asarray(
-                            qw["ws"], np.float32
-                        )
+                        if self.ecfg.weight_bits == 4:
+                            qw = wquant.quantize_weight4(o_w)
+                            o_w = np.asarray(wquant.unpack_weight4(qw),
+                                             np.float32)
+                        else:
+                            qw = wquant.quantize_weight(o_w)
+                            o_w = np.asarray(qw["wq8"], np.float32) * np.asarray(
+                                qw["ws"], np.float32
+                            )
                     else:
                         o_w = np.asarray(o_w, np.float32)
                 corr = per_qhead.reshape(-1) @ o_w  # (H,)
