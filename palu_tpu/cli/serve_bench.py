@@ -31,7 +31,8 @@ def main():
     parser.add_argument("--lt_sym", action="store_true")
     parser.add_argument("--lt_container", type=int, default=0)
     parser.add_argument("--weight_bits", type=int, default=16,
-                        help="8 = int8 weight-only storage (core/wquant)")
+                        help="8 = int8 weight-only storage; 4 = packed int4 "
+                             "with per-group-128 scales (core/wquant)")
     parser.add_argument("--vocab_size", type=int, default=32000)
     parser.add_argument("--decode_chunk", type=int, default=256)
     parser.add_argument("--use_cpu", action="store_true")

@@ -45,18 +45,17 @@ def _group_dot(x, packed_ref, scales):
     b, k = x.shape
     n_g = k // GROUP
     hg = GROUP // 2
-    # Mosaic has no direct uint8 -> float cast; widen to int32 first (the
-    # same pattern as the cache kernels' _unpack_rank_major_t)
-    packed = packed_ref[...].astype(jnp.int32)
-    lo = packed & 0xF
-    hi = packed >> 4
     xf = x.astype(jnp.float32)
     acc = None
     corr = None
     for g in range(n_g):
-        cg = jnp.concatenate(
-            [lo[g * hg : (g + 1) * hg, :], hi[g * hg : (g + 1) * hg, :]],
-            axis=0).astype(x.dtype)  # (GROUP, bn), codes 0..15
+        # widen per 64-row slice, not the whole tile: keeps the int32
+        # unpack temporaries at ~the slice size instead of 3x the tile
+        # (Mosaic has no direct uint8 -> float cast, so the hop through
+        # int32 is required -- same as the cache kernels)
+        blk = packed_ref[g * hg : (g + 1) * hg, :].astype(jnp.int32)
+        cg = jnp.concatenate([blk & 0xF, blk >> 4],
+                             axis=0).astype(x.dtype)  # (GROUP, bn), 0..15
         xg = x[:, g * GROUP : (g + 1) * GROUP]
         sg = scales[g : g + 1, :]
         pg = jax.lax.dot_general(
