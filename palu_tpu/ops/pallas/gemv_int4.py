@@ -82,7 +82,9 @@ def _mlp_kernel4(x_ref, wg_ref, gs_ref, wu_ref, us_ref, wd_ref, ds_ref,
     g = _group_dot(xb, wg_ref, gs_ref[...])
     u = _group_dot(xb, wu_ref, us_ref[...])
     h = (jax.nn.silu(g) * u).astype(xb.dtype)  # (B, bn)
-    acc_ref[...] += _group_dot(h, wd_ref, ds_ref[...])
+    # ds arrives 3D (1, bn/GROUP, H): a 2D (bn/GROUP, H) tile would break
+    # Mosaic's (8, 128) block divisibility when bn/GROUP < 8
+    acc_ref[...] += _group_dot(h, wd_ref, ds_ref[0])
 
     @pl.when(j == nj - 1)
     def _fin():
@@ -113,7 +115,7 @@ def mlp_gemv_int4(x, wg, wu, wd, *, block_n: int = 0, interpret: bool = False):
             pl.BlockSpec((hdim // 2, bn), lambda j: (0, j)),
             pl.BlockSpec((ng_h, bn), lambda j: (0, j)),
             pl.BlockSpec((bn // 2, hdim), lambda j: (j, 0)),
-            pl.BlockSpec((bn // GROUP, hdim), lambda j: (j, 0)),
+            pl.BlockSpec((1, bn // GROUP, hdim), lambda j: (j, 0, 0)),
         ],
         out_specs=pl.BlockSpec((b, hdim), lambda j: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hdim), x.dtype),
@@ -124,7 +126,8 @@ def mlp_gemv_int4(x, wg, wu, wd, *, block_n: int = 0, interpret: bool = False):
         ),
     )(x, wg["wq4"], wg["ws"].astype(jnp.float32),
       wu["wq4"], wu["ws"].astype(jnp.float32),
-      wd["wq4"], wd["ws"].astype(jnp.float32))
+      wd["wq4"],
+      wd["ws"].astype(jnp.float32).reshape(inter // bn, bn // GROUP, hdim))
 
 
 def _gemv_kernel4(x_ref, w_ref, s_ref, o_ref):
