@@ -21,8 +21,9 @@ pattern), then one scale row multiplies the (.., out) result. There is no
 separate dequantized copy of the weights in HBM.
 
 `weight_bits=4` (quantize_weight4) goes one step further: two 4-bit codes
-per byte along the INPUT dim (rows i and i + in/2 share a byte, so the
-unpack is two contiguous row blocks, never an interleave) with per-
+per byte along the INPUT dim, packed WITHIN each 128-row scale group
+(rows r and r + group/2 of a group share a byte, so any group-aligned
+tile unpacks to two contiguous row blocks, never an interleave) with per-
 (128-row-group, output-channel) scales -- the group granularity standard
 weight-only-int4 schemes (GPTQ/AWQ-class) need for acceptable error.
 Codes are unsigned 0..15; the symmetric offset 8 is folded out of the dot
@@ -65,10 +66,20 @@ def quantize_weight4(w, group: int = W4_GROUP) -> dict:
     # production shapes are multiples of 256 and use the 128-row group the
     # Pallas kernels require; tiny (test) shapes shrink the group so the
     # XLA path still works
+    req = group
     while group > 2 and n_in % (2 * group) != 0:
         group //= 2
     if n_in % (2 * group) != 0:
         raise ValueError(f"in-dim {n_in} must be a multiple of {2 * group}")
+    if group != req and n_in >= 1024:
+        import warnings
+
+        warnings.warn(
+            f"quantize_weight4: in-dim {n_in} is not a multiple of "
+            f"{2 * req}; scale group shrinks to {group}, which disqualifies "
+            f"the Pallas int4 GEMV kernels (w4_group != W4_GROUP) and the "
+            f"decode path falls back to the XLA dequant matmul",
+            stacklevel=2)
     n_g = n_in // group
     s = jnp.max(jnp.abs(wf.reshape(n_g, group, n_out)),
                 axis=1) / 7.0  # codes -8..7; clip the -8 corner to +/-7
@@ -91,7 +102,14 @@ def is_quantized_weight(w) -> bool:
 
 def unpack_weight4(w) -> jax.Array:
     """{"wq4", "ws"} -> dequantized (in, out) f32 weights (XLA path; the
-    decode hot loop uses ops/pallas/gemv_int4 instead)."""
+    decode hot loop uses ops/pallas/gemv_int4 instead).
+
+    Unlike the int8 path (whose convert fuses into the dot's operand
+    read), this materializes a full f32 copy of the weight per matmul, so
+    batch>8 / prefill / CPU callers pay a transient (in, out) f32 HBM
+    allocation plus full-precision weight-read bandwidth each call.
+    Acceptable for prefill (the step is MXU-bound on the GEMMs, not on
+    weight reads) but a reason the decode dispatch prefers the kernel."""
     u = w["wq4"]
     n_out = u.shape[1]
     n_g = w["ws"].shape[0]

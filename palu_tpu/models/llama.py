@@ -254,7 +254,7 @@ def mlp_forward(x: jax.Array, p: Params) -> jax.Array:
         # decomposition)
         lead = x.shape[:-1]
         interp = jax.default_backend() != "tpu"
-        if "wq4" in p["gate"]:
+        if all("wq4" in p[k] for k in ("gate", "up", "down")):
             from ..core.wquant import W4_GROUP, w4_group
 
             if (p["gate"]["wq4"].shape[1] % 128 == 0
@@ -265,7 +265,8 @@ def mlp_forward(x: jax.Array, p: Params) -> jax.Array:
                 out = mlp_gemv_int4(x.reshape(-1, x.shape[-1]), p["gate"],
                                     p["up"], p["down"], interpret=interp)
                 return out.reshape(*lead, out.shape[-1])
-        elif p["gate"]["wq8"].shape[1] % 128 == 0:
+        elif (all("wq8" in p[k] for k in ("gate", "up", "down"))
+              and p["gate"]["wq8"].shape[1] % 128 == 0):
             from ..ops.pallas.gemv_int8 import mlp_gemv_int8
 
             out = mlp_gemv_int8(x.reshape(-1, x.shape[-1]), p["gate"],

@@ -2,9 +2,10 @@
 
 Same streaming structure as gemv_int8 (one pass over the weight bytes,
 double-buffered tiles, fp32 accumulator scratch), but the weights arrive
-PACKED two-codes-per-byte (core/wquant.quantize_weight4: rows i and
-i + in/2 share a byte, so the unpack is two contiguous nibble planes,
-never an interleave) with per-(128-row-group, out-channel) scales.
+PACKED two-codes-per-byte (core/wquant.quantize_weight4: rows r and
+r + group/2 of each 128-row scale group share a byte, so a group-aligned
+tile unpacks to two contiguous nibble planes, never an interleave) with
+per-(128-row-group, out-channel) scales.
 
 Per tile the kernel unpacks the byte block with one mask and one shift,
 feeds the unsigned 0..15 codes straight to the MXU (convert fuses into

@@ -148,6 +148,25 @@ def _make_kernel4(
     # QuantConfig.container; e.g. 3-bit codes in 4-bit nibbles halve the
     # per-value unpack ops (the 3-bit kernel's VPU bottleneck) for 4/3x
     # the cache reads
+    v_byte_dot: bool = False,  # V path dots the RAW container bytes
+    # (lo + 16*hi, <= 127 for 3-bit-in-nibble so exact in bf16/int8) plus
+    # one hi-nibble plane, and recovers the lo outputs algebraically at
+    # finalize: pv_lo = pv_byte - 16 * pv_hi.  Numerically EXACT (integer
+    # code values, f32 accumulation) and removes the lo-plane unpack
+    # entirely -- the V side is ~75% of the kernel's ~270M per-layer cache
+    # values.  Requires nibble-container storage + per-row scales with
+    # zero-corrections active (asym or fold_qoff): codes must enter the
+    # dot unsigned.
+    int8_dots: bool = False,  # K reconstruct dots run on the int8 MXU
+    # path (2x the bf16 rate; the K dots are ~350 us/layer of bf16 MXU at
+    # the 7B/64K point, the kernel's single largest cost): the query-
+    # folded operand bq quantizes per-row to int8 (same error class as
+    # the bf16 rounding the default path already applies), codes feed the
+    # dot as raw int8 nibbles, and the per-row scale multiplies the int32
+    # dot output during the rotation stage.  Zero-correction rowsums use
+    # the QUANTIZED operand so the correction cancels exactly against the
+    # dots.  Requires codes in [0, 127] (pack width <= 4, or the byte
+    # plane of v_byte_dot at 3-bit).
 ):
     """bits=None builds the fp (bf16 rank-major latents, no scales) variant;
     the cache refs then hold latent rows directly instead of packed codes,
@@ -294,21 +313,46 @@ def _make_kernel4(
                 b2g = b2t_ref[gi].astype(jnp.float32)
                 bq1f = a1 * b1g + a2 * b2g  # (W, rk) f32
                 bq2f = a2 * b1g - a1 * b2g
-                bq1 = bq1f.astype(cdt)
-                bq2 = bq2f.astype(cdt)
-                ck = _rows(xk_codes[gi], rk)
-                if chunked:
-                    ck = dequant_rows(
-                        ck, ks_rows[gi],
-                        kz_rows[gi] if asym else None, rk)
-                # Mosaic requires 32-bit matmul accumulators; rot_dtype only
-                # affects the elementwise rotation (and the table residency)
-                u = jax.lax.dot_general(
-                    bq1, ck, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(rot_dtype)  # (W, BS)
-                v = jax.lax.dot_general(
-                    bq2, ck, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(rot_dtype)
+                if int8_dots:
+                    # per-row int8 quantization of the query-folded operand
+                    # (tiny: (W, rk) per group); codes feed the dot as raw
+                    # int8 nibbles, so both reconstruct dots run at the MXU
+                    # int8 rate (2x bf16) with no int->float unpack convert
+                    s1 = jnp.maximum(
+                        jnp.max(jnp.abs(bq1f), axis=1, keepdims=True),
+                        1e-30) * (1.0 / 127.0)  # (W, 1)
+                    s2 = jnp.maximum(
+                        jnp.max(jnp.abs(bq2f), axis=1, keepdims=True),
+                        1e-30) * (1.0 / 127.0)
+                    n1 = jnp.round(bq1f / s1).astype(jnp.int8)
+                    n2 = jnp.round(bq2f / s2).astype(jnp.int8)
+                    ck = _unpack_rank_major_t(
+                        xk_codes[gi], pbits, rk, qoff_unpack, jnp.int8)
+                    u_i = jax.lax.dot_general(
+                        n1, ck, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)  # (W, BS) exact
+                    v_i = jax.lax.dot_general(
+                        n2, ck, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    u = u_i.astype(rot_dtype) * s1
+                    v = v_i.astype(rot_dtype) * s2
+                else:
+                    bq1 = bq1f.astype(cdt)
+                    bq2 = bq2f.astype(cdt)
+                    ck = _rows(xk_codes[gi], rk)
+                    if chunked:
+                        ck = dequant_rows(
+                            ck, ks_rows[gi],
+                            kz_rows[gi] if asym else None, rk)
+                    # Mosaic requires 32-bit matmul accumulators; rot_dtype
+                    # only affects the elementwise rotation (and the table
+                    # residency)
+                    u = jax.lax.dot_general(
+                        bq1, ck, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(rot_dtype)  # (W, BS)
+                    v = jax.lax.dot_general(
+                        bq2, ck, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(rot_dtype)
                 if seg_sum:
                     # stays in rot_dtype: the sublane segment-sum consumes
                     # it directly (no MXU dot, so no down-cast needed)
@@ -335,9 +379,17 @@ def _make_kernel4(
                     return t, None, bcorr
                 # zero-term correction (docstring 4b): the per-token zero z adds
                 # z * (seg @ (cos*rowsum(bq1) + sin*rowsum(bq2))) to the logits;
-                # the tiled tables make that R1 @ cosb + R2 @ sinb
-                r1 = jnp.sum(bq1f, axis=1).reshape(hpg, half)
-                r2 = jnp.sum(bq2f, axis=1).reshape(hpg, half)
+                # the tiled tables make that R1 @ cosb + R2 @ sinb.
+                # int8_dots: rowsums of the QUANTIZED operand, so the
+                # correction cancels exactly against what the dots computed
+                if int8_dots:
+                    r1 = (jnp.sum(n1.astype(jnp.float32), axis=1)
+                          * s1[:, 0]).reshape(hpg, half)
+                    r2 = (jnp.sum(n2.astype(jnp.float32), axis=1)
+                          * s2[:, 0]).reshape(hpg, half)
+                else:
+                    r1 = jnp.sum(bq1f, axis=1).reshape(hpg, half)
+                    r2 = jnp.sum(bq2f, axis=1).reshape(hpg, half)
                 corr = (
                     jax.lax.dot_general(r1, cosb, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
@@ -414,23 +466,47 @@ def _make_kernel4(
 
             # ---- V path: (hpg, BS) @ (rv, BS)^T, contraction over seq lanes ----
             for gi in range(g):
-                cv = _rows(xv_codes[gi], rv)
-                if chunked:
-                    cv = dequant_rows(
-                        cv, vs_rows[gi],
-                        vz_rows[gi] if asym else None, rv)
                 p_g = p[gi * hpg : (gi + 1) * hpg, :]
                 if bits is None or chunked:
                     ps = p_g.astype(cdt)
                 else:
                     ps = (p_g * vs_rows[gi : gi + 1, :]).astype(cdt)
-                pv = jax.lax.dot_general(
-                    ps, cv, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (hpg, rv)
-                if zcorr and not chunked:
-                    # zero-term: sum_s p[h,s] * z[s], broadcast over rv
-                    pv = pv + jnp.sum(p_g * vz_rows[gi : gi + 1, :],
-                                      axis=1, keepdims=True)
+                if v_byte_dot:
+                    # dot the RAW container bytes (lo + 16*hi, integer
+                    # values exact in bf16) + one hi-nibble plane; the lo
+                    # outputs are recovered at finalize (pv_lo = pv_byte -
+                    # 16*pv_hi), so the lo plane is never unpacked -- half
+                    # the V-side per-value VPU work for identical math.
+                    braw = xv_codes[gi]  # (rv/2, BS) uint8
+                    cb = braw.astype(cdt)
+                    chi = ((braw.astype(jnp.int32) >> 4) & 15).astype(cdt)
+                    pv_b = jax.lax.dot_general(
+                        ps, cb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (hpg, rv/2)
+                    pv_h = jax.lax.dot_general(
+                        ps, chi, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    # zero-term in (byte, hi) accumulator space: finalize
+                    # maps (B, H) -> (B - 16H, H), so adding 17c to the
+                    # byte half and c to the hi half yields +c on both
+                    # natural halves
+                    corr = jnp.sum(p_g * vz_rows[gi : gi + 1, :],
+                                   axis=1, keepdims=True)
+                    pv = jnp.concatenate(
+                        [pv_b + 17.0 * corr, pv_h + corr], axis=1)
+                else:
+                    cv = _rows(xv_codes[gi], rv)
+                    if chunked:
+                        cv = dequant_rows(
+                            cv, vs_rows[gi],
+                            vz_rows[gi] if asym else None, rv)
+                    pv = jax.lax.dot_general(
+                        ps, cv, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (hpg, rv)
+                    if zcorr and not chunked:
+                        # zero-term: sum_s p[h,s] * z[s], broadcast over rv
+                        pv = pv + jnp.sum(p_g * vz_rows[gi : gi + 1, :],
+                                          axis=1, keepdims=True)
                 alpha_g = alpha[gi * hpg : (gi + 1) * hpg, :]
                 acc_scr[gi] = acc_scr[gi] * alpha_g + pv
             m_scr[0:nh, 0:1] = m_new
@@ -438,15 +514,25 @@ def _make_kernel4(
 
         @pl.when(sblk == nblk - 1)
         def _finalize():
+            def natural(accg):
+                # v_byte_dot accumulates (byte-dot | hi-dot) halves along
+                # rv; recover the natural rank order once, at finalize
+                if not v_byte_dot:
+                    return accg
+                hi = accg[:, rv // 2 :]
+                lo = accg[:, : rv // 2] - 16.0 * hi
+                return jnp.concatenate([lo, hi], axis=1)
+
             if return_stats:
                 for gi in range(g):
-                    out_ref[gi] = acc_scr[gi].astype(out_ref.dtype)
+                    out_ref[gi] = natural(acc_scr[gi]).astype(out_ref.dtype)
                 m_out[...] = m_scr[...]
                 l_out[...] = l_scr[...]
             else:
                 for gi in range(g):
                     l_g = l_scr[gi * hpg : (gi + 1) * hpg, 0:1]
-                    out_ref[gi] = (acc_scr[gi] / l_g).astype(out_ref.dtype)
+                    out_ref[gi] = (natural(acc_scr[gi]) / l_g).astype(
+                        out_ref.dtype)
 
     return kernel
 
@@ -457,7 +543,7 @@ def _call4(
     compute_dtype, inv_freq_static, rope_scale, rot_dtype=jnp.float32,
     xk_zero=None, xv_zero=None, pos_offset=None, return_stats=False,
     layer_idx=None, group_chunk=None, seg_sum=False, k_bias=None,
-    fold_qoff=False, pack_bits=None,
+    fold_qoff=False, pack_bits=None, v_byte_dot=False, int8_dots=False,
 ):
     asym = xk_zero is not None
     stacked = layer_idx is not None
@@ -469,6 +555,16 @@ def _call4(
     pb = pack_bits or bits
     nrk = packed_nrows(rk, pb) if bits is not None else rk
     nrv = packed_nrows(rv, pb) if bits is not None else rv
+    zfold_call = fold_qoff and bits is not None and not asym and not group_chunk
+    if v_byte_dot:
+        assert bits is not None and pb == 4 and not group_chunk and (
+            asym or zfold_call
+        ), "v_byte_dot needs nibble-container codes with zero-corrections " \
+           "active (asym, or sym with fold_qoff)"
+    if int8_dots:
+        assert bits is not None and pb <= 4 and not group_chunk, \
+            "int8_dots needs sub-byte codes (pack width <= 4) and per-row " \
+            "scales"
     lb = (xk_rows.shape[0],) if stacked else ()  # leading layer dim
     assert xk_rows.shape[-2] == nrk and xv_rows.shape[-2] == nrv
     if group_chunk:
@@ -538,7 +634,7 @@ def _call4(
         return_stats=return_stats, layer_stacked=stacked,
         n_sc_k=nsk, n_sc_v=nsv, chunked=group_chunk is not None,
         seg_sum=seg_sum, k_bias=k_bias is not None, fold_qoff=fold_qoff,
-        pack_bits=pack_bits,
+        pack_bits=pack_bits, v_byte_dot=v_byte_dot, int8_dots=int8_dots,
     )
 
     grid = (b, nblk)
@@ -652,7 +748,7 @@ def _call4(
     static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window",
                      "interpret", "compute_dtype", "inv_freq_static",
                      "rope_scale", "rot_dtype", "return_stats", "seg_sum",
-                     "fold_qoff"),
+                     "fold_qoff", "v_byte_dot", "int8_dots"),
 )
 def palu_flash_decode4_quantized(
     q: jax.Array,  # (B, nh, hd)
@@ -696,6 +792,12 @@ def palu_flash_decode4_quantized(
     # (746 vs 802 us chained, tools/tpu_stacked_kernel_ab.py); identical
     # algebra (_make_kernel4 docstring), False keeps the in-unpack subtract
     # as an A/B knob
+    v_byte_dot: bool = False,  # V path byte-plane dots (numerically exact;
+    # container-4 + per-row scales with zero-corrections only) -- see
+    # _make_kernel4
+    int8_dots: bool = False,  # K reconstruct dots on the int8 MXU path
+    # (2x rate; operand quantization error of the same class as the bf16
+    # rounding the default applies) -- see _make_kernel4
 ) -> jax.Array:
     """Decode attention over an affine-quantized rank-major latent cache
     -> (B, nh, rv) latent-space output.
@@ -731,7 +833,7 @@ def palu_flash_decode4_quantized(
         xk_zero=xk_zero, xv_zero=xv_zero,
         pos_offset=pos_offset, return_stats=return_stats,
         layer_idx=layer_idx, seg_sum=seg_sum, k_bias=k_bias,
-        fold_qoff=fold_qoff,
+        fold_qoff=fold_qoff, v_byte_dot=v_byte_dot, int8_dots=int8_dots,
     )
 
 

@@ -211,6 +211,11 @@ class Engine:
             and ecfg.seq_axis is None
             and (ecfg.s_max % 128 == 0 or ecfg.s_max < 128)
         )
+        # trace-time record of which decode attention paths dispatched
+        # (static branch selection happens while tracing, so this is exact);
+        # surfaced by the multichip dryrun so a log reader can verify the
+        # fused kernel -- not a fallback -- handled each round
+        self._decode_paths: set = set()
         if ecfg.rank_major_fp and ecfg.seq_axis is not None and not ecfg.use_pallas:
             raise ValueError(
                 "rank_major_fp + seq_axis requires use_pallas: the rank-major "
@@ -1355,6 +1360,7 @@ class Engine:
 
         if k_dense and v_dense:
             # dense fallback: flash decode over full KV
+            self._decode_paths.add("dense-flash")
             out = self._dense_flash_decode(q, entry, kv_len, chunk, num_chunks)
             return wdot(out, attn["o_proj"]["w"])
 
@@ -1387,6 +1393,8 @@ class Engine:
             # rope (both fold inside the kernel)
             n_shards = ecfg.mesh.shape[ecfg.seq_axis]
             s_local = ecfg.s_max // n_shards
+            self._decode_paths.add(
+                "v4-seq-sharded" + ("-quantized" if quantized else "-fp"))
             lat_out = att_ops.flash_decode_latent_seq_sharded_rank_major(
                 q, entry["k"], entry["v"], der["b_k"], kv_len,
                 ecfg.mesh, ecfg.seq_axis,
@@ -1411,12 +1419,18 @@ class Engine:
             and "k_bias" not in der
         ):
             # sequence-parallel decode: each seq shard computes partial flash
-            # stats over its cache slice, combined via pmax/psum
+            # stats over its cache slice, combined via pmax/psum.
+            # k_bias (qwen2) is excluded HERE only: the token-major bf16
+            # seq-sharded kernel has no bias-logit fold, so qwen2+seq_axis
+            # lands on the XLA fallback below (which reconstructs K with the
+            # bias added before RoPE); the rank-major and quantized
+            # seq-sharded paths fold k_bias in-kernel like single-chip
             n_shards = ecfg.mesh.shape[ecfg.seq_axis]
             s_local = ecfg.s_max // n_shards
             chunk_s = min(chunk, s_local)
             while s_local % chunk_s:
                 chunk_s -= 1
+            self._decode_paths.add("seq-sharded-bf16-token-major")
             lat_out = att_ops.flash_decode_latent_seq_sharded(
                 q, entry["k"]["lat"], entry["v"]["lat"], der["b_k"], kv_len,
                 ecfg.mesh, ecfg.seq_axis, chunk_s, hd, cfg.rope_theta,
@@ -1461,6 +1475,11 @@ class Engine:
             use_v4 = rm or rm_chunked
             block_s = self._pallas_block
             k_bias = der.get("k_bias")
+            path = ("v4-fused-quantized" if use_v4
+                    else "v4-fused-fp" if ecfg.rank_major_fp and not quantized
+                    else "v1-fused-bf16")
+            self._decode_paths.add(
+                path + ("(shard_map)" if ecfg.mesh is not None else ""))
 
             def kernel_call(q_, b_k_, k_bufs, v_bufs, kv_len_, k_bias_=None):
                 if ecfg.rank_major_fp and not quantized:
@@ -1557,6 +1576,7 @@ class Engine:
             buf = cache_lib.seq_slice(entry["v"], idx * chunk, chunk)
             return cache_lib.decode_latents(buf, ecfg.qcfg, rv, ecfg.dtype)
 
+        self._decode_paths.add("xla-chunked-fallback")
         lat_out = att_ops.flash_decode_latent(
             q,
             read_k,

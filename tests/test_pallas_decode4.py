@@ -471,3 +471,77 @@ def test_v4_container_stacked_window_and_ref():
     ref = np.asarray(_xla_reference(q, b_k, x_k_dq, x_v_dq, kvl,
                                     sliding_window=100))
     assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
+
+
+@pytest.mark.parametrize("sym", [True, False])
+@pytest.mark.parametrize("bits", [3, 4, 2])
+def test_v4_v_byte_dot_matches_plain(bits, sym):
+    """v_byte_dot (raw byte-plane V dots + finalize recovery) is an exact
+    reformulation: same integer code values enter f32-accumulated dots, so
+    the output must match the plain container kernel to f32 rounding
+    (not bit-exact: the byte dot accumulates in a different order)."""
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=200, seed=41)
+    a, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64,
+                                sym=sym, container=4)
+    b, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, bits, 32, 64,
+                                sym=sym, container=4, v_byte_dot=True)
+    assert np.allclose(b, a, atol=1e-4, rtol=1e-4), np.abs(b - a).max()
+
+
+def test_v4_v_byte_dot_window_batch_and_ref():
+    q, b_k, x_k, x_v, kvl = _setup(b=2, g=3, kv_len=150, seed=42)
+    out, x_k_dq, x_v_dq = _quantize_and_run(
+        q, b_k, x_k, x_v, kvl, 3, 32, 64, sym=False, container=4,
+        v_byte_dot=True, sliding_window=70)
+    ref = np.asarray(_xla_reference(q, b_k, x_k_dq, x_v_dq, kvl,
+                                    sliding_window=70))
+    assert np.allclose(out, ref, atol=2e-3, rtol=1e-3), np.abs(out - ref).max()
+
+
+@pytest.mark.parametrize("sym", [True, False])
+@pytest.mark.parametrize("bits", [3, 4])
+def test_v4_int8_dots_matches_dequant_xla(bits, sym):
+    """int8 MXU reconstruct dots: the query-folded operand rounds to int8
+    per-row instead of bf16 -- same error class; parity vs the XLA dequant
+    reference at a correspondingly loosened (but still tight) tolerance."""
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=200, seed=43)
+    out, x_k_dq, x_v_dq = _quantize_and_run(
+        q, b_k, x_k, x_v, kvl, bits, 32, 64, sym=sym, container=4,
+        int8_dots=True)
+    ref = np.asarray(_xla_reference(q, b_k, x_k_dq, x_v_dq, kvl))
+    assert np.allclose(out, ref, atol=4e-2, rtol=2e-2), np.abs(out - ref).max()
+
+
+def test_v4_int8_dots_byte_dot_stacked_and_window():
+    """Both formulation knobs together, layer-stacked indexing + sliding
+    window: the full headline-point configuration."""
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=180, seed=44)
+    kw = dict(sym=True, container=4, int8_dots=True, v_byte_dot=True,
+              sliding_window=90)
+    out, x_k_dq, x_v_dq = _quantize_and_run(
+        q, b_k, x_k, x_v, kvl, 3, 32, 64, **kw)
+    ref = np.asarray(_xla_reference(q, b_k, x_k_dq, x_v_dq, kvl,
+                                    sliding_window=90))
+    assert np.allclose(out, ref, atol=4e-2, rtol=2e-2), np.abs(out - ref).max()
+
+
+def test_v4_v_byte_dot_return_stats():
+    """return_stats emits acc in NATURAL rank order (the finalize recovery
+    must run before the stats write): combining (acc, m, l) by hand must
+    reproduce the direct output."""
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=200, seed=45)
+    direct, _, _ = _quantize_and_run(
+        q, b_k, x_k, x_v, kvl, 3, 32, 64, sym=False, container=4,
+        v_byte_dot=True)
+    qcfg = QuantConfig(bits=3, group_size=0, sym=False, container=4)
+    kc, ks, kz = quant_mod.quantize_affine(x_k, qcfg)
+    vc, vs, vz = quant_mod.quantize_affine(x_v, qcfg)
+    acc, m, l = palu_flash_decode4_quantized(
+        q, b_k,
+        quant_mod.pack_codes_t(kc, qcfg.pack_bits), ks[..., 0],
+        quant_mod.pack_codes_t(vc, qcfg.pack_bits), vs[..., 0],
+        kvl, qcfg=qcfg, rk=32, rv=64, block_s=64, interpret=True,
+        compute_dtype=jnp.float32, xk_zero=kz[..., 0], xv_zero=vz[..., 0],
+        v_byte_dot=True, return_stats=True)
+    combined = np.asarray(acc) / np.asarray(l)[..., None]
+    assert np.allclose(combined, direct, atol=1e-5, rtol=1e-5)
