@@ -97,9 +97,10 @@ class EngineConfig:
     # LAYER-major chunked prefill: each layer reconstructs its K/V prefix
     # once per power-of-two run instead of once per chunk (~8.5x less
     # reconstruct work at 64K/4096, docs/BENCH.md round-4 prefill). None =
-    # auto (on when eligible: use_pallas, no mesh/seq_axis/stacked,
-    # all-low-rank); False = always chunk-major (serving-style
-    # interleaving); True = force (raises when ineligible).
+    # auto (on when eligible: use_pallas, no seq_axis, not stacked,
+    # all-low-rank; TP/DP meshes ARE eligible via the shard_map'd run
+    # body); False = always chunk-major (serving-style interleaving);
+    # True = force (raises when ineligible).
     layer_major_prefill: Optional[bool] = None
 
 
@@ -200,14 +201,16 @@ class Engine:
             fb -= 1
         self._prefill_block = fb
         # fused quantize+pack+append decode writes (ops/pallas/cache_append):
-        # rank-major per-row quantized caches at byte-aligned pack widths,
-        # unsharded engines only (the sharded append stays with GSPMD)
+        # rank-major per-row quantized caches at byte-aligned pack widths.
+        # TP/DP meshes run the same kernel per-shard via shard_map (batch
+        # over data, kv groups over model, _append_fused); only a
+        # seq-sharded cache keeps the GSPMD append (the write position is
+        # shard-relative there).
         from ..ops.pallas.cache_append import append_supported
 
         self._fused_append = (
             ecfg.use_pallas
             and append_supported(ecfg.qcfg)
-            and ecfg.mesh is None
             and ecfg.seq_axis is None
             and (ecfg.s_max % 128 == 0 or ecfg.s_max < 128)
         )
@@ -1005,13 +1008,9 @@ class Engine:
                 q = llama.apply_rope(q.astype(jnp.float32), cos, sin).astype(
                     ecfg.dtype)
                 q_off = base_offset + c * C
-                out = prefill_flash(
+                out = self._flash_sharded(
                     q.transpose(0, 2, 1, 3), k_full, v_full, q_off,
                     q_off + C,
-                    block_s=self._prefill_block,
-                    sliding_window=cfg.sliding_window,
-                    interpret=ecfg.pallas_interpret,
-                    compute_dtype=ecfg.dtype,
                 )
                 attn_out = out.transpose(0, 2, 1, 3).reshape(b, C, nh * hd)
                 xc = xc + wdot(attn_out, attn["o_proj"]["w"])
@@ -1033,11 +1032,15 @@ class Engine:
 
     def _layer_major_eligible(self) -> bool:
         """Layer-major prefill needs the fused Pallas prefill path (its
-        reconstruct-once structure) on an unsharded, unstacked engine with
-        all-low-rank k/v."""
+        reconstruct-once structure) on an unstacked engine with
+        all-low-rank k/v.  TP/DP meshes are eligible (the run body's
+        kernel call goes through _flash_sharded, head-group-parallel via
+        shard_map, and everything else in the body is GSPMD-partitionable
+        XLA); only a seq-sharded cache is not (the one-shot prefix
+        reconstruct assumes the whole sequence on every shard)."""
         if not self.ecfg.use_pallas or self._stacked:
             return False
-        if self.ecfg.mesh is not None or self.ecfg.seq_axis is not None:
+        if self.ecfg.seq_axis is not None:
             return False
         return all(
             "VT" in l["attn"]["k_proj"] and "VT" in l["attn"]["v_proj"]
@@ -1125,6 +1128,20 @@ class Engine:
         needed = (jnp.max(kv_len) - 1) // self._chunk + 1
         k_full, v_full = self._reconstruct_dense(entry, attn, rk, rv, needed)
         q_t = q.transpose(0, 2, 1, 3)  # (B, nh, Cq, hd)
+        out = self._flash_sharded(q_t, k_full, v_full, q_off, kv_len)
+        return out.transpose(0, 2, 1, 3).reshape(b, cq, nh * hd)
+
+    def _flash_sharded(self, q_t, k_full, v_full, q_off, kv_len):
+        """prefill_flash on (B, nh, Cq, hd) q / (B, nkv, S, hd) dense K/V --
+        direct on one device, shard_map'd over (data=batch, model=heads)
+        when the engine has a TP mesh (pallas_call is not GSPMD-
+        partitionable; the kernel is head-parallel so the per-shard call is
+        exact).  Shared by the chunk-major attention (_prefill_attn_pallas)
+        and the layer-major run body, so both prefill orders are
+        mesh-eligible."""
+        from ..ops.pallas.prefill_flash import prefill_flash
+
+        cfg, ecfg = self.cfg, self.ecfg
 
         def kernel_call(q_, k_, v_, off_, kvl_):
             return prefill_flash(
@@ -1139,7 +1156,7 @@ class Engine:
             from jax.sharding import PartitionSpec as P
             from palu_tpu.parallel.mesh import shard_map_nocheck
 
-            out = shard_map_nocheck(
+            return shard_map_nocheck(
                 kernel_call,
                 mesh=ecfg.mesh,
                 in_specs=(
@@ -1151,9 +1168,7 @@ class Engine:
                 ),
                 out_specs=P("data", "model", None, None),
             )(q_t, k_full, v_full, q_off, kv_len)
-        else:
-            out = kernel_call(q_t, k_full, v_full, q_off, kv_len)
-        return out.transpose(0, 2, 1, 3).reshape(b, cq, nh * hd)
+        return kernel_call(q_t, k_full, v_full, q_off, kv_len)
 
     def _ensure_chunk_jits(self):
         if not hasattr(self, "_prefill_chunk_jit"):
@@ -1206,8 +1221,8 @@ class Engine:
         use_lm = self._layer_major_eligible() if lm is None else lm
         if use_lm and not self._layer_major_eligible():
             raise ValueError("layer_major_prefill=True but the engine is "
-                             "ineligible (needs use_pallas, no mesh/"
-                             "seq_axis/stacked, all-low-rank k/v)")
+                             "ineligible (needs use_pallas, no seq_axis, "
+                             "not stacked, all-low-rank k/v)")
         logits = None
         off_chunks = 0
         remaining = n_chunks
@@ -1338,15 +1353,39 @@ class Engine:
         from ..ops.pallas.cache_append import append_token_quantized
 
         qcfg = self.ecfg.qcfg
+        ecfg = self.ecfg
+        rank = lat.shape[-1]
+
+        def call(lat_, codes_, scale_, pos_, w_, *maybe_zero):
+            return append_token_quantized(
+                lat_, codes_, scale_, pos_, w_, qcfg=qcfg, rank=rank,
+                zero=maybe_zero[0] if maybe_zero else None,
+                interpret=ecfg.pallas_interpret,
+            )
+
         # scale/zero buffers pass VERBATIM (with their unit n_sc axis): a
         # pre-kernel squeeze would materialize slice copies around the
         # in-place alias (cache_append docstring)
-        out = append_token_quantized(
-            lat[:, :, 0, :], bufs["codes_t"], bufs["scale_t"],
-            pos_w, writeable, qcfg=qcfg, rank=lat.shape[-1],
-            zero=None if qcfg.sym else bufs["zero_t"],
-            interpret=self.ecfg.pallas_interpret,
-        )
+        zero_tail = () if qcfg.sym else (bufs["zero_t"],)
+        args = (lat[:, :, 0, :], bufs["codes_t"], bufs["scale_t"],
+                pos_w, writeable) + zero_tail
+        if ecfg.mesh is not None:
+            # head-group-parallel per-shard append (pallas_call is not
+            # GSPMD-partitionable): batch over `data`, kv groups over
+            # `model`; per-shard aliasing keeps the write in place
+            from jax.sharding import PartitionSpec as P
+            from palu_tpu.parallel.mesh import shard_map_nocheck
+
+            bgs = P("data", "model", None, None)
+            out = shard_map_nocheck(
+                call,
+                mesh=ecfg.mesh,
+                in_specs=(P("data", "model", None), bgs, bgs,
+                          P("data"), P("data")) + (bgs,) * len(zero_tail),
+                out_specs=(bgs, bgs) + (bgs,) * len(zero_tail),
+            )(*args)
+        else:
+            out = call(*args)
         new = {"codes_t": out[0], "scale_t": out[1]}
         if not qcfg.sym:
             new["zero_t"] = out[2]

@@ -256,10 +256,6 @@ class ServingEngine:
         fold_in(fold_in(seed, rid), step) so a request's stream is
         reproducible regardless of batch composition."""
         assert ecfg.batch >= 1
-        if ecfg.stacked_decode:
-            raise ValueError(
-                "ServingEngine does not run the layer-stacked decode yet "
-                "(lane insertion iterates per-layer cache entries)")
         if ecfg.stacked_decode is None:
             import dataclasses as _dc
 
@@ -294,11 +290,12 @@ class ServingEngine:
         else:
             self.local_lanes = slice(0, ecfg.batch)
             self._nproc = 1
-        if self._nproc > 1 and prefill_chunks_per_step is not None:
-            raise ValueError(
-                "chunked-prefill interleaving is not supported with a "
-                "multi-process mesh (prefill is host-local; interleave "
-                "state cannot stay in lockstep)")
+        # chunked-prefill interleaving composes with multi-process meshes
+        # (round-4 restriction lifted): admissions are lockstep, so every
+        # host advances the SAME chunk counters deterministically; only the
+        # owning host computes a lane's chunks, non-owners track offsets
+        # and write the replicated per-lane length at completion
+        # (_advance_prefills).
         # the scheduler is GLOBAL: every host runs the same one over all
         # lanes (identical admissions everywhere); ownership only gates
         # which host computes a lane's prefill
@@ -328,19 +325,22 @@ class ServingEngine:
 
     @staticmethod
     def _insert_impl(batched_cache, single_cache, lane: int):
-        new_layers = []
-        for b_entry, s_entry in zip(batched_cache["layers"], single_cache["layers"]):
-            new_entry = {}
-            for side in b_entry:
-                new_entry[side] = {
-                    k: jax.lax.dynamic_update_slice(
-                        b_entry[side][k], s_entry[side][k], (lane, 0, 0, 0)
-                    )
-                    for k in b_entry[side]
-                }
-            new_layers.append(new_entry)
+        """Write a batch-1 prefilled cache into lane `lane`.  Handles both
+        cache layouts: the per-layer list ({"layers": [...]}, lane on axis
+        0 of every leaf) and the layer-STACKED tree ({"stack": ...}, lane
+        on axis 1 behind the (L,) layer axis) -- so a stacked_decode=True
+        engine serves like any other (round-4 restriction lifted)."""
+        stacked = "stack" in batched_cache
+        ax = 1 if stacked else 0
+
+        def ins(b, s):
+            return jax.lax.dynamic_update_slice(
+                b, s, (0,) * ax + (lane,) + (0,) * (b.ndim - ax - 1))
+
         length = batched_cache["length"].at[lane].set(single_cache["length"][0])
-        return {"layers": new_layers, "length": length}
+        key = "stack" if stacked else "layers"
+        return {key: jax.tree.map(ins, batched_cache[key], single_cache[key]),
+                "length": length}
 
     def submit(self, rid: int, prompt_ids: np.ndarray, max_new_tokens: int,
                sampling=None) -> bool:
@@ -516,7 +516,14 @@ class ServingEngine:
                 self.outputs[rid].append(tok)
                 self.sched.on_token(lane, self._is_eos(tok))
 
-        self._advance_prefills()
+        completed = self._advance_prefills()
+        if completed:
+            if self._nproc > 1:
+                self._sync_tokens()
+            for rid, lane in completed:
+                tok = int(self.tokens[lane, 0])
+                self.outputs[rid].append(tok)
+                self.sched.on_token(lane, self._is_eos(tok))
 
         active = self.sched.active()
         n_active = sum(1 for a in active if a != -1)
@@ -560,41 +567,57 @@ class ServingEngine:
             self.sched.on_token(lane, self._is_eos(tok))
         return n_active
 
-    def _advance_prefills(self) -> None:
+    def _advance_prefills(self):
         """Advance each in-flight chunked prefill by up to
         prefill_chunks_per_step chunks; insert completed prompts into their
-        lane and emit the first token."""
+        lane.  Multi-process meshes: the chunk counters advance identically
+        on every host (admissions are lockstep and deterministic); only the
+        lane's OWNER computes the chunks and the first token, non-owners
+        write the replicated per-lane length.  Returns the completed
+        (rid, lane) pairs -- the caller syncs first tokens across hosts and
+        does the output bookkeeping."""
+        completed = []
         if not self._inflight:
-            return
+            return completed
         chunk = self.prefill_engine._chunk
+        lo, hi = self.local_lanes.start, self.local_lanes.stop
         for rid in list(self._inflight):
             st = self._inflight[rid]
+            lane = st["lane"]
+            owner = self._nproc == 1 or (lo <= lane < hi)
             total = st["prompt"].shape[1]
             for _ in range(self.prefill_chunks_per_step):
                 end = min(st["off"] + chunk, total)
-                ids = st["prompt"][:, st["off"] : end]
-                if end - st["off"] < chunk:
-                    ids = np.pad(ids, ((0, 0), (0, chunk - (end - st["off"]))))
-                st["logits"], st["cache"] = self.prefill_engine.prefill_chunk(
-                    ids, st["cache"], st["off"]
-                )
+                if owner:
+                    ids = st["prompt"][:, st["off"] : end]
+                    if end - st["off"] < chunk:
+                        ids = np.pad(
+                            ids, ((0, 0), (0, chunk - (end - st["off"]))))
+                    st["logits"], st["cache"] = self.prefill_engine.prefill_chunk(
+                        ids, st["cache"], st["off"]
+                    )
                 st["off"] = end
                 if end >= total:
                     break
             if st["off"] < total:
                 continue
-            last = self.prefill_engine._last_gather_jit(
-                st["logits"], jnp.full((1,), (total - 1) % chunk, jnp.int32)
-            )
-            sc = dict(st["cache"])
-            sc["length"] = jnp.full((1,), total, jnp.int32)
-            first_tok = self._pick_token(rid, last[0, -1])
-            lane = st["lane"]
-            self.cache = self._insert(self.cache, sc, lane=lane)
-            self.tokens[lane, 0] = first_tok
-            self.outputs[rid].append(first_tok)
-            self.sched.on_token(lane, self._is_eos(first_tok))
+            if owner:
+                last = self.prefill_engine._last_gather_jit(
+                    st["logits"], jnp.full((1,), (total - 1) % chunk, jnp.int32)
+                )
+                sc = dict(st["cache"])
+                sc["length"] = jnp.full((1,), total, jnp.int32)
+                first_tok = self._pick_token(rid, last[0, -1])
+                if self._nproc > 1:
+                    self._insert_hostside(lane, sc, total)
+                else:
+                    self.cache = self._insert(self.cache, sc, lane=lane)
+                self.tokens[lane, 0] = first_tok
+            else:
+                self._insert_hostside(lane, None, total)
+            completed.append((rid, lane))
             del self._inflight[rid]
+        return completed
 
     def _is_eos(self, tok: int) -> bool:
         return self.eos_token_id is not None and tok == self.eos_token_id

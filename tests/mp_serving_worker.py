@@ -63,15 +63,16 @@ def main() -> None:
     # 5 requests through 4 lanes forces lane recycling mid-run
     prompts = [rng.integers(0, cfg.vocab_size, (n,)) for n in (5, 7, 4, 6, 3)]
 
-    def run(mesh):
+    def run(mesh, chunks=None):
         ecfg = EngineConfig(
             s_max=16, batch=4, dtype=jnp.float32, decode_chunk=8, qcfg=qcfg,
             mesh=mesh,
         )
-        srv = ServingEngine(params, cfg, ecfg, prefer_native=False)
+        srv = ServingEngine(params, cfg, ecfg, prefer_native=False,
+                            prefill_chunks_per_step=chunks)
         for rid, p in enumerate(prompts):
             assert srv.submit(rid, p, max_new_tokens=4)
-        return srv.run_until_done(max_steps=60)
+        return srv.run_until_done(max_steps=80)
 
     ref = run(None)  # single-device, process-local
 
@@ -81,6 +82,13 @@ def main() -> None:
     assert set(ref) == set(out), (sorted(ref), sorted(out))
     for rid in sorted(ref):
         assert ref[rid] == out[rid], (rid, ref[rid], out[rid])
+
+    # chunked-prefill interleaving on the SAME 2-process mesh (round-5:
+    # lockstep chunk counters, owner-computed chunks, synced first tokens)
+    out2 = run(make_pod_mesh(model_parallelism=4), chunks=1)
+    assert set(ref) == set(out2), (sorted(ref), sorted(out2))
+    for rid in sorted(ref):
+        assert ref[rid] == out2[rid], (rid, ref[rid], out2[rid])
 
     print(f"MP_SERVING_OK {pid}", flush=True)
 

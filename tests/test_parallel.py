@@ -555,3 +555,48 @@ def test_pipeline_decode_quantized_rejects_seq_major():
         pp.stage_sharded_decode(
             params, cfg, 2, mesh, s_max=16, decode_chunk=8,
             qcfg=QuantConfig(bits=4, group_size=4))
+
+
+def test_layer_major_prefill_sharded_matches_single():
+    """Round-5: layer-major prefill is TP/DP-mesh-eligible -- the run
+    body's kernel call goes through the shard_map'd _flash_sharded and the
+    decode that follows exercises the shard_map'd fused cache append.
+    Sharded and single-device layer-major engines must agree."""
+    import jax.numpy as jnp
+    from palu_tpu.core.quant import QuantConfig
+    from palu_tpu.runtime.engine import Engine, EngineConfig
+
+    params, cfg = _model(seed=11)
+    ids = np.random.default_rng(11).integers(0, cfg.vocab_size, (2, 26))
+    step_ids = np.asarray([[3], [5]])
+    qcfg = QuantConfig(bits=3, group_size=0, sym=True, container=4)
+    ek = dict(s_max=32, batch=2, dtype=jnp.float32, decode_chunk=8,
+              qcfg=qcfg, use_pallas=True, pallas_interpret=True,
+              layer_major_prefill=True)
+
+    e1 = Engine(params, cfg, EngineConfig(**ek))
+    assert e1._fused_append
+    lg1, c1 = e1.prefill_chunked(ids, chunk_size=4)
+    d1, _ = e1.decode(step_ids, c1)
+
+    mesh = make_mesh(data=2, model=4)
+    sharded = shard_tree(params, param_shardings(params, mesh))
+    e2 = Engine(sharded, cfg, EngineConfig(mesh=mesh, **ek))
+    assert e2._layer_major_eligible() and e2._fused_append
+    c0 = shard_tree(e2.init_cache(), cache_shardings(e2.init_cache(), mesh))
+    lg2, c2 = e2.prefill_chunked(ids, chunk_size=4, cache=c0)
+    d2, _ = e2.decode(step_ids, c2)
+
+    assert np.allclose(np.asarray(lg1), np.asarray(lg2), atol=3e-3), np.abs(
+        np.asarray(lg1) - np.asarray(lg2)).max()
+    assert np.allclose(np.asarray(d1), np.asarray(d2), atol=3e-3), np.abs(
+        np.asarray(d1) - np.asarray(d2)).max()
+
+    # the shard_map'd fused append vs the GSPMD XLA append on the SAME mesh
+    e3 = Engine(sharded, cfg, EngineConfig(mesh=mesh, **ek))
+    e3._fused_append = False
+    c0b = shard_tree(e3.init_cache(), cache_shardings(e3.init_cache(), mesh))
+    _, c3 = e3.prefill_chunked(ids, chunk_size=4, cache=c0b)
+    d3, _ = e3.decode(step_ids, c3)
+    assert np.allclose(np.asarray(d2), np.asarray(d3), atol=3e-3), np.abs(
+        np.asarray(d2) - np.asarray(d3)).max()

@@ -251,3 +251,59 @@ def test_serving_batched_sampler_no_per_step_host_fetch():
     assert len(out[30]) == 5 and len(out[31]) == 5
     # one _pick_token per request (the prefill first token), none per step
     assert calls["pick"] == 2, calls
+
+
+def test_serving_stacked_decode_matches_default():
+    from palu_tpu.core.quant import QuantConfig
+    """stacked_decode=True serves like the unrolled default (round-4
+    restriction lifted): lane insertion writes the (L, B, ...) stacked
+    cache at axis 1, the batch-1 prefill engine produces a stacked
+    single-lane cache, and the scanned decode emits identical tokens."""
+    params, cfg = _model()
+    rng = np.random.default_rng(7)
+    prompts = {
+        30: rng.integers(1, cfg.vocab_size, (1, 6)),
+        31: rng.integers(1, cfg.vocab_size, (1, 9)),
+        32: rng.integers(1, cfg.vocab_size, (1, 4)),  # waits for a lane
+    }
+    n_new = {30: 5, 31: 3, 32: 6}
+
+    def run(stacked):
+        ecfg = EngineConfig(
+            s_max=32, batch=2, dtype=jnp.float32, decode_chunk=8,
+            qcfg=QuantConfig(bits=4, group_size=0, sym=True),
+            use_pallas=True, pallas_interpret=True, stacked_decode=stacked)
+        srv = ServingEngine(params, cfg, ecfg, prefer_native=False)
+        if stacked:
+            assert srv.engine._stacked and srv.prefill_engine._stacked
+        for rid, p in prompts.items():
+            assert srv.submit(rid, p, n_new[rid])
+        return srv.run_until_done(max_steps=200)
+
+    ref = run(False)
+    out = run(True)
+    assert ref == out, (ref, out)
+
+
+def test_serving_stacked_decode_with_interleave():
+    from palu_tpu.core.quant import QuantConfig
+    """Stacked serving composes with chunked-prefill interleaving (the
+    inflight insertion goes through the same layout-generic _insert)."""
+    params, cfg = _model()
+    rng = np.random.default_rng(8)
+    prompts = {40: rng.integers(1, cfg.vocab_size, (1, 17)),
+               41: rng.integers(1, cfg.vocab_size, (1, 5))}
+    n_new = {40: 4, 41: 5}
+
+    def run(chunks):
+        ecfg = EngineConfig(
+            s_max=32, batch=2, dtype=jnp.float32, decode_chunk=8,
+            qcfg=QuantConfig(bits=4, group_size=0, sym=True),
+            use_pallas=True, pallas_interpret=True, stacked_decode=True)
+        srv = ServingEngine(params, cfg, ecfg, prefer_native=False,
+                            prefill_chunks_per_step=chunks)
+        for rid, p in prompts.items():
+            assert srv.submit(rid, p, n_new[rid])
+        return srv.run_until_done(max_steps=300)
+
+    assert run(None) == run(1)
