@@ -397,6 +397,8 @@ def flash_decode_latent_seq_sharded_rank_major(
     inv_freq_static=None,
     rope_scale: float = 1.0,
     k_bias: Optional[jax.Array] = None,  # (G, hpg, hd) replicated (qwen2)
+    kernel_knobs: Optional[dict] = None,  # v4 formulation knobs
+    # (v_byte_dot / int8_dots) splatted into the per-shard kernel call
 ) -> jax.Array:
     """Sequence-sharded fused decode over a RANK-MAJOR latent cache (packed
     low-bit or bf16): each shard runs the v4 transposed kernel on its slice
@@ -455,7 +457,8 @@ def flash_decode_latent_seq_sharded_rank_major(
                 }
             acc, m, l = pk4.palu_flash_decode4_quantized(
                 q_, b_k, kb["codes_t"], ksc, vb["codes_t"], vsc,
-                kvl_, qcfg=qcfg, **common, **zeros)
+                kvl_, qcfg=qcfg, **common, **zeros,
+                **(kernel_knobs or {}))
         m_g = jax.lax.pmax(m, axis)  # (B, nh)
         scale_ = jnp.exp(m - m_g)
         l_g = jax.lax.psum(l * scale_, axis)

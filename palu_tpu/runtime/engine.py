@@ -102,6 +102,16 @@ class EngineConfig:
     # body); False = always chunk-major (serving-style interleaving);
     # True = force (raises when ineligible).
     layer_major_prefill: Optional[bool] = None
+    # round-5 v4-kernel formulation knobs (ops/pallas/palu_decode4):
+    # kernel_v_byte_dot -- V path dots the raw nibble-container bytes and
+    # recovers the lo outputs at finalize: numerically exact, half the
+    # V-side unpack VPU work. None = auto (on when the cache is per-row
+    # nibble-container and the chip A/B favors it -- docs/BENCH.md
+    # round-5 formulation table). kernel_int8_dots -- K reconstruct dots
+    # on the int8 MXU path (2x rate; the query-folded operand rounds to
+    # int8 per-row instead of bf16, an error of the same class). Opt-in.
+    kernel_v_byte_dot: Optional[bool] = None
+    kernel_int8_dots: bool = False
 
 
 def build_decode_b(u_k: np.ndarray, cfg: ModelConfig) -> np.ndarray:
@@ -219,6 +229,30 @@ class Engine:
         # surfaced by the multichip dryrun so a log reader can verify the
         # fused kernel -- not a fallback -- handled each round
         self._decode_paths: set = set()
+        # resolved v4 formulation knobs (splatted into every quantized v4
+        # kernel call): v_byte_dot auto-resolves ON for per-row nibble-
+        # container caches (chip A/B: exact and faster, docs/BENCH.md
+        # round-5); int8_dots is opt-in and validated here
+        qk = ecfg.qcfg
+        knob_ok = (qk is not None and qk.enabled and qk.group_size == 0)
+        vbd = ecfg.kernel_v_byte_dot
+        if vbd is None:
+            # sym rides the fold_qoff zero-corrections (kernel default),
+            # asym its real zero rows -- both eligible
+            vbd = knob_ok and qk.pack_bits == 4
+        elif vbd and not (knob_ok and qk.pack_bits == 4):
+            raise ValueError(
+                "kernel_v_byte_dot needs a per-row nibble-container cache "
+                "(QuantConfig.group_size == 0, pack width 4)")
+        if ecfg.kernel_int8_dots and not (knob_ok and qk.pack_bits <= 4):
+            raise ValueError(
+                "kernel_int8_dots needs per-row sub-byte codes "
+                "(QuantConfig.group_size == 0, pack width <= 4)")
+        self._kernel_knobs = {}
+        if vbd:
+            self._kernel_knobs["v_byte_dot"] = True
+        if ecfg.kernel_int8_dots:
+            self._kernel_knobs["int8_dots"] = True
         if ecfg.rank_major_fp and ecfg.seq_axis is not None and not ecfg.use_pallas:
             raise ValueError(
                 "rank_major_fp + seq_axis requires use_pallas: the rank-major "
@@ -874,7 +908,7 @@ class Engine:
                     interpret=ecfg.pallas_interpret,
                     inv_freq_static=self._inv_freq_static,
                     rope_scale=self._rope_scale, layer_idx=li,
-                    k_bias=k_bias, **zeros,
+                    k_bias=k_bias, **zeros, **self._kernel_knobs,
                 )
             lat_out = lat_out.astype(ecfg.dtype).reshape(b, nh * rv)
             out = wdot(lat_out, attn["o_proj"]["w_fused"])
@@ -1443,6 +1477,7 @@ class Engine:
                 interpret=ecfg.pallas_interpret, rope_scale=self._rope_scale,
                 inv_freq_static=self._inv_freq_static,
                 k_bias=der.get("k_bias"),
+                kernel_knobs=self._kernel_knobs,
             )
             lat_out = lat_out.astype(ecfg.dtype).reshape(b, nh * rv)
             out = wdot(lat_out, attn["o_proj"]["w_fused"])
@@ -1559,7 +1594,7 @@ class Engine:
                         interpret=ecfg.pallas_interpret,
                         inv_freq_static=self._inv_freq_static,
                         rope_scale=self._rope_scale, k_bias=k_bias_,
-                        **zeros,
+                        **zeros, **self._kernel_knobs,
                     )
                 return pk.palu_flash_decode(
                     q_, b_k_, k_bufs["lat"], v_bufs["lat"], kv_len_,

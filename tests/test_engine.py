@@ -337,7 +337,13 @@ def test_engine_embed_bits_int8_close_and_tied_head():
 def test_engine_container_matches_exact_packing():
     """3-bit codes in a 4-bit nibble container end-to-end through the
     Engine (cache alloc + append + fused kernel): logits identical to the
-    exact 3-bit packing (same codes, wider storage geometry)."""
+    exact 3-bit packing (same codes, wider storage geometry).
+    kernel_v_byte_dot is pinned OFF for the container engine because it
+    accumulates the V dot in a different (byte-plane) order -- same math,
+    different f32 rounding -- and this test asserts bit-equality; the
+    byte-dot formulation has its own parity tests
+    (test_pallas_decode4.py::test_v4_v_byte_dot_*,
+    test_engine_v_byte_dot_auto below)."""
     params, cfg = _lowrank_model(seed=27, rank=16, gs=2)
     ids = np.random.default_rng(27).integers(0, cfg.vocab_size, (1, 12))
     outs = []
@@ -346,9 +352,49 @@ def test_engine_container_matches_exact_packing():
         eng = Engine(params, cfg, EngineConfig(s_max=16, dtype=jnp.float32,
                                                qcfg=qcfg, decode_chunk=8,
                                                use_pallas=True,
-                                               pallas_interpret=True))
+                                               pallas_interpret=True,
+                                               kernel_v_byte_dot=False))
         outs.append(_stepwise_logits(eng, ids))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_engine_v_byte_dot_auto():
+    """The auto-resolved v_byte_dot engine (per-row nibble container)
+    tracks the pinned-off engine to f32 rounding, and the knob resolution
+    is what the config table says (on for container, off for exact
+    packing, int8_dots validated)."""
+    params, cfg = _lowrank_model(seed=28, rank=16, gs=2)
+    ids = np.random.default_rng(28).integers(0, cfg.vocab_size, (1, 12))
+    qcfg = QuantConfig(bits=3, group_size=0, sym=True, container=4)
+    outs = []
+    for vbd in (None, False):
+        eng = Engine(params, cfg, EngineConfig(s_max=16, dtype=jnp.float32,
+                                               qcfg=qcfg, decode_chunk=8,
+                                               use_pallas=True,
+                                               pallas_interpret=True,
+                                               kernel_v_byte_dot=vbd))
+        if vbd is None:
+            assert eng._kernel_knobs.get("v_byte_dot") is True
+        else:
+            assert "v_byte_dot" not in eng._kernel_knobs
+        outs.append(_stepwise_logits(eng, ids))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-4, rtol=1e-4)
+    # exact 3-bit packing: auto resolves OFF; forcing ON raises
+    e2 = Engine(params, cfg, EngineConfig(
+        s_max=16, dtype=jnp.float32, decode_chunk=8, use_pallas=True,
+        pallas_interpret=True,
+        qcfg=QuantConfig(bits=3, group_size=0, sym=True)))
+    assert "v_byte_dot" not in e2._kernel_knobs
+    with pytest.raises(ValueError, match="v_byte_dot"):
+        Engine(params, cfg, EngineConfig(
+            s_max=16, dtype=jnp.float32, decode_chunk=8, use_pallas=True,
+            pallas_interpret=True, kernel_v_byte_dot=True,
+            qcfg=QuantConfig(bits=3, group_size=0, sym=True)))
+    with pytest.raises(ValueError, match="int8_dots"):
+        Engine(params, cfg, EngineConfig(
+            s_max=16, dtype=jnp.float32, decode_chunk=8, use_pallas=True,
+            pallas_interpret=True, kernel_int8_dots=True,
+            qcfg=QuantConfig(bits=8, group_size=0, sym=True)))
 
 
 @pytest.mark.parametrize(

@@ -21,6 +21,7 @@ Env: LAYERS=32 BITS=3 SEQ=65536 STEPS=64 K=3 BLOCK=2048 WBITS=8 STACKED=0 CONTAI
      TTFT=0 (1 = measure full-model chunked-prefill TTFT instead of decode
      TPOT; LM=auto|0|1 picks layer-major vs chunk-major prefill;
      PCHUNK prefill chunk size, default 4096)
+     VBYTE=auto|0|1 (v4 kernel v_byte_dot), I8DOTS=0|1 (int8 MXU K dots)
 """
 import sys, os, time, json
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
@@ -53,6 +54,9 @@ FA = os.environ.get("FA", "1")  # 0 disables the fused append kernel
 VT8 = os.environ.get("VT8", "0") == "1"  # int8 VT factors (vt_bits=8)
 LM_ENV = os.environ.get("LM", "auto")
 PCHUNK = int(os.environ.get("PCHUNK", 4096))
+VBYTE = os.environ.get("VBYTE", "auto")  # auto | 1 | 0
+I8DOTS = os.environ.get("I8DOTS", "0") == "1"
+
 
 H, NH, HD = 4096, 32, 128
 INTER, VOCAB = 11008, 32000
@@ -119,6 +123,10 @@ def main():
         ek["stacked_decode"] = STACKED == "1"
     if LM_ENV != "auto":
         ek["layer_major_prefill"] = LM_ENV == "1"
+    if VBYTE != "auto":
+        ek["kernel_v_byte_dot"] = VBYTE == "1"
+    if I8DOTS:
+        ek["kernel_int8_dots"] = True
     ecfg = EngineConfig(
         s_max=s_max, batch=1, qcfg=qcfg, decode_chunk=BLOCK,
         use_pallas=True, pallas_block=BLOCK, weight_bits=WBITS,
@@ -168,7 +176,8 @@ def main():
     res = profiler.profile_tpot_chained(eng, SEQ, n_steps=STEPS, k_calls=K,
                                         trace_dir=trace_dir)
     res.update(layers=L, bits=BITS, container=CONTAINER, fused_append=eng._fused_append, seq=SEQ, s_max=s_max, weight_bits=WBITS,
-               stacked=bool(getattr(eng, "_stacked", False)))
+               stacked=bool(getattr(eng, "_stacked", False)),
+               kernel_knobs=sorted(eng._kernel_knobs))
     print(f"# TPOT {res['tpot_ms']:.2f} ms/step ({res['tokens_per_s']:.1f} tok/s, "
           f"{L} layers, {BITS}-bit cache, compile {res['compile_s']:.0f}s)",
           flush=True)
