@@ -63,6 +63,12 @@ def main():
     parser.add_argument("--decode_chunk", type=int, default=512)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--no_pallas", action="store_true")
+    parser.add_argument("--v_byte_dot", choices=["auto", "0", "1"],
+                        default="auto",
+                        help="v4 kernel V byte-plane dots (exact; auto = on "
+                             "for per-row nibble-container caches)")
+    parser.add_argument("--int8_dots", action="store_true",
+                        help="v4 kernel K reconstruct on the int8 MXU path")
     parser.add_argument("--trace_dir", type=str, default=None)
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
@@ -84,6 +90,9 @@ def main():
             s_max=s_max, batch=args.batch, dtype=jnp.bfloat16, qcfg=qcfg,
             decode_chunk=args.decode_chunk,
             use_pallas=args.palu and not args.no_pallas,
+            kernel_v_byte_dot=(None if args.v_byte_dot == "auto"
+                               else args.v_byte_dot == "1"),
+            kernel_int8_dots=args.int8_dots,
         ),
     )
     stats = profile_tpot(engine, args.prompt_len, args.n_steps,

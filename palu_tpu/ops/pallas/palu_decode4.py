@@ -477,9 +477,10 @@ def _make_kernel4(
                     # outputs are recovered at finalize (pv_lo = pv_byte -
                     # 16*pv_hi), so the lo plane is never unpacked -- half
                     # the V-side per-value VPU work for identical math.
-                    braw = xv_codes[gi]  # (rv/2, BS) uint8
+                    braw = xv_codes[gi].astype(jnp.int32)  # (rv/2, BS);
+                    # Mosaic has no direct uint8->bf16 cast, widen first
                     cb = braw.astype(cdt)
-                    chi = ((braw.astype(jnp.int32) >> 4) & 15).astype(cdt)
+                    chi = ((braw >> 4) & 15).astype(cdt)
                     pv_b = jax.lax.dot_general(
                         ps, cb, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)  # (hpg, rv/2)
