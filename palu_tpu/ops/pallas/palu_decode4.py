@@ -167,6 +167,12 @@ def _make_kernel4(
     # the QUANTIZED operand so the correction cancels exactly against the
     # dots.  Requires codes in [0, 127] (pack width <= 4, or the byte
     # plane of v_byte_dot at 3-bit).
+    fuse_uv: bool = False,  # stack the two reconstruct dots per group
+    # into ONE (2W, rk) @ (rk, BS) dot (identical MACs and f32 rounding;
+    # the bq halves are independent output rows): halves the MXU issue
+    # count and reads the unpacked ck operand once, and merges the two
+    # (hpg, half) zero-correction dots into one K=2*half dot -- a
+    # scheduling-bubble experiment, not an algebra change.
 ):
     """bits=None builds the fp (bf16 rank-major latents, no scales) variant;
     the cache refs then hold latent rows directly instead of packed codes,
@@ -347,12 +353,20 @@ def _make_kernel4(
                     # Mosaic requires 32-bit matmul accumulators; rot_dtype
                     # only affects the elementwise rotation (and the table
                     # residency)
-                    u = jax.lax.dot_general(
-                        bq1, ck, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32).astype(rot_dtype)  # (W, BS)
-                    v = jax.lax.dot_general(
-                        bq2, ck, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32).astype(rot_dtype)
+                    if fuse_uv:
+                        uv = jax.lax.dot_general(
+                            jnp.concatenate([bq1, bq2], axis=0), ck,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (2W, BS)
+                        u = uv[: bq1.shape[0]].astype(rot_dtype)
+                        v = uv[bq1.shape[0] :].astype(rot_dtype)
+                    else:
+                        u = jax.lax.dot_general(
+                            bq1, ck, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32).astype(rot_dtype)  # (W, BS)
+                        v = jax.lax.dot_general(
+                            bq2, ck, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32).astype(rot_dtype)
                 if seg_sum:
                     # stays in rot_dtype: the sublane segment-sum consumes
                     # it directly (no MXU dot, so no down-cast needed)
@@ -390,12 +404,19 @@ def _make_kernel4(
                 else:
                     r1 = jnp.sum(bq1f, axis=1).reshape(hpg, half)
                     r2 = jnp.sum(bq2f, axis=1).reshape(hpg, half)
-                corr = (
-                    jax.lax.dot_general(r1, cosb, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(r2, sinb, (((1,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
-                )  # (hpg, BS)
+                if fuse_uv:
+                    corr = jax.lax.dot_general(
+                        jnp.concatenate([r1, r2], axis=1),
+                        jnp.concatenate([cosb, sinb], axis=0),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (hpg, BS)
+                else:
+                    corr = (
+                        jax.lax.dot_general(r1, cosb, (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(r2, sinb, (((1,), (0,)), ((), ())),
+                                              preferred_element_type=jnp.float32)
+                    )  # (hpg, BS)
                 return t, corr, bcorr
 
             # ---- K path: per-pair segment dot -> (2*hpg, BS), tile-aligned ----
@@ -545,6 +566,7 @@ def _call4(
     xk_zero=None, xv_zero=None, pos_offset=None, return_stats=False,
     layer_idx=None, group_chunk=None, seg_sum=False, k_bias=None,
     fold_qoff=False, pack_bits=None, v_byte_dot=False, int8_dots=False,
+    fuse_uv=False,
 ):
     asym = xk_zero is not None
     stacked = layer_idx is not None
@@ -636,6 +658,7 @@ def _call4(
         n_sc_k=nsk, n_sc_v=nsv, chunked=group_chunk is not None,
         seg_sum=seg_sum, k_bias=k_bias is not None, fold_qoff=fold_qoff,
         pack_bits=pack_bits, v_byte_dot=v_byte_dot, int8_dots=int8_dots,
+        fuse_uv=fuse_uv,
     )
 
     grid = (b, nblk)
@@ -749,7 +772,7 @@ def _call4(
     static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window",
                      "interpret", "compute_dtype", "inv_freq_static",
                      "rope_scale", "rot_dtype", "return_stats", "seg_sum",
-                     "fold_qoff", "v_byte_dot", "int8_dots"),
+                     "fold_qoff", "v_byte_dot", "int8_dots", "fuse_uv"),
 )
 def palu_flash_decode4_quantized(
     q: jax.Array,  # (B, nh, hd)
@@ -799,6 +822,8 @@ def palu_flash_decode4_quantized(
     int8_dots: bool = False,  # K reconstruct dots on the int8 MXU path
     # (2x rate; operand quantization error of the same class as the bf16
     # rounding the default applies) -- see _make_kernel4
+    fuse_uv: bool = False,  # one stacked (2W, rk) reconstruct dot per
+    # group instead of two -- identical algebra, scheduling A/B knob
 ) -> jax.Array:
     """Decode attention over an affine-quantized rank-major latent cache
     -> (B, nh, rv) latent-space output.
@@ -835,6 +860,7 @@ def palu_flash_decode4_quantized(
         pos_offset=pos_offset, return_stats=return_stats,
         layer_idx=layer_idx, seg_sum=seg_sum, k_bias=k_bias,
         fold_qoff=fold_qoff, v_byte_dot=v_byte_dot, int8_dots=int8_dots,
+        fuse_uv=fuse_uv,
     )
 
 

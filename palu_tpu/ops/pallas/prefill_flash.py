@@ -42,6 +42,118 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["prefill_flash"]
 
 
+def _make_kernel_pipelined(cq: int, block_s: int, hd: int, sliding_window,
+                           cdt):
+    """Software-pipelined variant: grid runs one EXTRA sequence step and
+    each step (a) issues the QK dot for block `si` into a ping-pong logits
+    scratch slot, then (b) runs the online-softmax + PV for block `si-1`
+    from the other slot.  The VPU softmax of a block has no data
+    dependency on the next block's QK dot, so the scalar core can issue
+    the (long-running) MXU dot first and execute the softmax while it
+    drains -- the round-4 prefill sweep pinned MXU efficiency at ~64%,
+    bounded by exactly this serialization (docs/BENCH.md).  Identical
+    math: same dots, same masks, same f32 online-softmax recurrence,
+    evaluated one grid step later."""
+    def kernel(scalars, q_ref, k_ref, v_ref, out_ref, m_scr, l_scr, acc_scr,
+               lg_scr):
+        bi = pl.program_id(0)
+        sblk = pl.program_id(2)
+        nblk = pl.num_programs(2) - 1  # one flush step
+        b_total = scalars.shape[0] // 2
+        q_off = scalars[bi]
+        kv_len = scalars[b_total + bi]
+
+        @pl.when(sblk == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -1e30)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        produce = jnp.logical_and(sblk < nblk, sblk * block_s < kv_len)
+        prev_start = (sblk - 1) * block_s
+        consume = jnp.logical_and(sblk >= 1, prev_start < kv_len)
+
+        def qk_into(slot):
+            q = q_ref[0].astype(cdt)  # (Cq, hd)
+            k = k_ref[0].astype(cdt)  # (BS, hd)
+            lg_scr[slot] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * np.float32(1.0 / np.sqrt(hd))
+
+        def softmax_pv(slot, masked: bool):
+            logits = lg_scr[slot]  # (Cq, BS) f32, block sblk-1
+            if masked:
+                pos = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
+                    + prev_start
+                )
+                q_pos = (
+                    jax.lax.broadcasted_iota(jnp.int32, (cq, 1), 0) + q_off
+                )
+                valid = jnp.logical_and(pos <= q_pos, pos < kv_len)
+                if sliding_window is not None:
+                    valid = jnp.logical_and(valid, pos > q_pos - sliding_window)
+                logits = jnp.where(valid, logits, -1e30)
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits - m_new)
+            if masked:
+                p = jnp.where(valid, p, 0.0)
+            l_scr[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[...] = m_new
+            v = v_ref[0].astype(cdt)  # (BS, hd) -- the LAGGED block
+            pv = jax.lax.dot_general(
+                p.astype(cdt), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[...] = acc_scr[...] * alpha + pv
+
+        # the QK dot issues FIRST so the MXU is busy while the (pure-VPU)
+        # softmax of the previous block executes; ping-pong slots by grid
+        # parity remove the write-before-read hazard
+        even = jax.lax.rem(sblk, 2) == 0
+
+        @pl.when(jnp.logical_and(produce, even))
+        def _qk_even():
+            qk_into(0)
+
+        @pl.when(jnp.logical_and(produce, jnp.logical_not(even)))
+        def _qk_odd():
+            qk_into(1)
+
+        # mask specialization for the LAGGED block (same rule as the
+        # unpipelined kernel, shifted one step)
+        full_ok = prev_start + block_s <= jnp.minimum(q_off + 1, kv_len)
+        if sliding_window is not None:
+            full_ok = jnp.logical_and(
+                full_ok, prev_start >= q_off + cq - sliding_window
+            )
+        # step sblk consumes the slot written at sblk-1, i.e. slot
+        # (sblk-1) % 2 = 1 - sblk % 2: even steps read slot 1, odd read 0
+        for cur_even, slot in ((True, 1), (False, 0)):
+            sel = even if cur_even else jnp.logical_not(even)
+
+            @pl.when(jnp.logical_and(jnp.logical_and(consume, sel), full_ok))
+            def _consume_unmasked(slot=slot):
+                softmax_pv(slot, masked=False)
+
+            @pl.when(jnp.logical_and(jnp.logical_and(consume, sel),
+                                     jnp.logical_not(full_ok)))
+            def _consume_masked(slot=slot):
+                softmax_pv(slot, masked=True)
+
+        @pl.when(sblk == nblk)
+        def _finalize():
+            out_ref[0] = (
+                acc_scr[...] / jnp.maximum(l_scr[...], 1e-30)
+            ).astype(out_ref.dtype)
+
+    return kernel
+
+
 def _make_kernel(cq: int, block_s: int, hd: int, sliding_window, cdt):
     def kernel(scalars, q_ref, k_ref, v_ref, out_ref, m_scr, l_scr, acc_scr):
         # scalars: (2*B,) int32 = [q_offset..., kv_len...]
@@ -130,7 +242,7 @@ def _make_kernel(cq: int, block_s: int, hd: int, sliding_window, cdt):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_s", "sliding_window", "interpret", "compute_dtype"),
+    static_argnames=("block_s", "sliding_window", "interpret", "compute_dtype", "pipelined"),
 )
 def prefill_flash(
     q: jax.Array,  # (B, nh, Cq, hd) roped at absolute positions q_offset+i
@@ -143,11 +255,14 @@ def prefill_flash(
     sliding_window: Optional[int] = None,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
+    pipelined: bool = False,
 ) -> jax.Array:
     """Causal-with-offset flash attention -> (B, nh, Cq, hd).
 
     GQA handled in the BlockSpec index maps (nh % nkv == 0); no head
-    repetition is materialized.
+    repetition is materialized.  pipelined=True runs the one-block-lag
+    software pipeline (_make_kernel_pipelined): same math, the QK dot of
+    block i overlaps the softmax of block i-1.
     """
     b, nh, cq, hd = q.shape
     nkv, s_max = k.shape[1], k.shape[2]
@@ -163,37 +278,69 @@ def prefill_flash(
         ]
     )
 
-    def kv_index(bi, hi, si, s):
+    def clamp_last(bi, si, s):
         # clamp past-the-end sequence blocks to the last needed one: pallas
         # skips the DMA when consecutive grid steps map to the same block
         last = jnp.maximum(s[b + bi], 1) - 1  # kv_len-1, >= 0
-        return (bi, (hi * nkv) // nh, jnp.minimum(si, last // block_s), 0)
+        return jnp.minimum(si, last // block_s)
 
-    kernel = _make_kernel(cq, block_s, hd, sliding_window, compute_dtype)
+    def kv_index(bi, hi, si, s):
+        return (bi, (hi * nkv) // nh, clamp_last(bi, si, s), 0)
+
     try:
         compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     except TypeError:  # older pallas versions
         compiler_params = None
+
+    if pipelined:
+        def k_index(bi, hi, si, s):
+            return (bi, (hi * nkv) // nh,
+                    clamp_last(bi, jnp.minimum(si, nblk - 1), s), 0)
+
+        def v_index(bi, hi, si, s):
+            # the LAGGED block: step si consumes block si-1
+            return (bi, (hi * nkv) // nh,
+                    clamp_last(bi, jnp.maximum(si - 1, 0), s), 0)
+
+        kernel = _make_kernel_pipelined(cq, block_s, hd, sliding_window,
+                                        compute_dtype)
+        grid = (b, nh, nblk + 1)
+        in_specs = [
+            pl.BlockSpec((1, None, cq, hd), lambda bi, hi, si, *_: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, None, block_s, hd), k_index),
+            pl.BlockSpec((1, None, block_s, hd), v_index),
+        ]
+        scratch = [
+            pltpu.VMEM((cq, 1), jnp.float32),
+            pltpu.VMEM((cq, 1), jnp.float32),
+            pltpu.VMEM((cq, hd), jnp.float32),
+            pltpu.VMEM((2, cq, block_s), jnp.float32),
+        ]
+    else:
+        kernel = _make_kernel(cq, block_s, hd, sliding_window, compute_dtype)
+        grid = (b, nh, nblk)
+        in_specs = [
+            pl.BlockSpec((1, None, cq, hd), lambda bi, hi, si, *_: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, None, block_s, hd), kv_index),
+            pl.BlockSpec((1, None, block_s, hd), kv_index),
+        ]
+        scratch = [
+            pltpu.VMEM((cq, 1), jnp.float32),
+            pltpu.VMEM((cq, 1), jnp.float32),
+            pltpu.VMEM((cq, hd), jnp.float32),
+        ]
 
     out = pl.pallas_call(
         kernel,
         compiler_params=compiler_params,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, nh, nblk),
-            in_specs=[
-                pl.BlockSpec((1, None, cq, hd), lambda bi, hi, si, *_: (bi, hi, 0, 0)),
-                pl.BlockSpec((1, None, block_s, hd), kv_index),
-                pl.BlockSpec((1, None, block_s, hd), kv_index),
-            ],
+            grid=grid,
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, None, cq, hd), lambda bi, hi, si, *_: (bi, hi, 0, 0)
             ),
-            scratch_shapes=[
-                pltpu.VMEM((cq, 1), jnp.float32),
-                pltpu.VMEM((cq, 1), jnp.float32),
-                pltpu.VMEM((cq, hd), jnp.float32),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((b, nh, cq, hd), q.dtype),
         interpret=interpret,

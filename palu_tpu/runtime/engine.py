@@ -112,6 +112,10 @@ class EngineConfig:
     # int8 per-row instead of bf16, an error of the same class). Opt-in.
     kernel_v_byte_dot: Optional[bool] = None
     kernel_int8_dots: bool = False
+    kernel_fuse_uv: bool = False  # one stacked (2W, rk) reconstruct dot
+    # per group (identical algebra; chip A/B: 611 us with v_byte_dot at
+    # the 3-bit/64K point vs 626 base -- within the ~+/-30us noise band,
+    # kept as an opt-in knob)
 
 
 def build_decode_b(u_k: np.ndarray, cfg: ModelConfig) -> np.ndarray:
@@ -253,6 +257,8 @@ class Engine:
             self._kernel_knobs["v_byte_dot"] = True
         if ecfg.kernel_int8_dots:
             self._kernel_knobs["int8_dots"] = True
+        if ecfg.kernel_fuse_uv and knob_ok:
+            self._kernel_knobs["fuse_uv"] = True
         if ecfg.rank_major_fp and ecfg.seq_axis is not None and not ecfg.use_pallas:
             raise ValueError(
                 "rank_major_fp + seq_axis requires use_pallas: the rank-major "

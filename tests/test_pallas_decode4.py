@@ -545,3 +545,16 @@ def test_v4_v_byte_dot_return_stats():
         v_byte_dot=True, return_stats=True)
     combined = np.asarray(acc) / np.asarray(l)[..., None]
     assert np.allclose(combined, direct, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("sym", [True, False])
+def test_v4_fuse_uv_matches_plain(sym):
+    """fuse_uv (one stacked (2W, rk) reconstruct dot per group) is the
+    identical algebra -- independent output rows -- so it matches the
+    two-dot kernel to f32 rounding."""
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=200, seed=51)
+    a, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, 3, 32, 64,
+                                sym=sym, container=4)
+    b, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, 3, 32, 64,
+                                sym=sym, container=4, fuse_uv=True)
+    assert np.allclose(b, a, atol=1e-4, rtol=1e-4), np.abs(b - a).max()

@@ -114,3 +114,34 @@ def test_bf16_compute():
     ref = ref_attn(q, k, v, [64], [128])
     np.testing.assert_allclose(np.asarray(out, np.float32), ref,
                                rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("off,kvl,window", [
+    (0, 64, None),          # first chunk
+    (128, 192, None),       # mid chunk with offset
+    (128, 150, None),       # kv_len not a block multiple
+    (128, 192, 80),         # sliding window
+])
+def test_pipelined_matches_default(off, kvl, window):
+    """The one-block-lag software pipeline is the same math evaluated a
+    grid step later: parity with the unpipelined kernel and the
+    full-softmax reference at every mask/offset shape."""
+    q, k, v = make_inputs(seed=9)
+    a = np.asarray(run(q, k, v, [off], [kvl], sliding_window=window))
+    b = np.asarray(run(q, k, v, [off], [kvl], sliding_window=window,
+                       pipelined=True))
+    np.testing.assert_allclose(b, a, atol=1e-5, rtol=1e-5)
+    ref = ref_attn(q, k, v, [off], [kvl], sliding_window=window)
+    np.testing.assert_allclose(b, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_pipelined_gqa_per_lane_and_padded_tail():
+    q, k, v = make_inputs(b=2, nh=8, nkv=2, seed=10)
+    off = [0, 64]
+    kvl = [64, 128]
+    a = np.asarray(run(q, k, v, off, kvl))
+    b = np.asarray(run(q, k, v, off, kvl, pipelined=True))
+    np.testing.assert_allclose(b, a, atol=1e-5, rtol=1e-5)
+    # padded tail (kv_len < q_off): finite garbage, no NaN
+    out = np.asarray(run(q, k, v, [192, 192], [8, 8], pipelined=True))
+    assert np.isfinite(out).all()

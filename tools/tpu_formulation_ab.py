@@ -105,12 +105,20 @@ def main():
     bufs = seed()
     results = {}
     ref = None
-    for label, kw in [
+    import ast
+    extra = ast.literal_eval(os.environ.get("VARIANTS", "0")) if \
+        os.environ.get("VARIANTS") else None
+    variants = [
         ("base", {}),
         ("vbyte", dict(v_byte_dot=True)),
         ("int8", dict(int8_dots=True)),
         ("int8+vbyte", dict(int8_dots=True, v_byte_dot=True)),
-    ]:
+        ("fuse_uv", dict(fuse_uv=True)),
+        ("fuse_uv+vbyte", dict(fuse_uv=True, v_byte_dot=True)),
+    ]
+    if extra is not None:
+        variants = [v for v in variants if v[0] in extra]
+    for label, kw in variants:
         def call(q, i, kc, kss, vc, vs, kw=kw):
             return palu_flash_decode4_quantized(
                 q, b_k, kc, kss, vc, vs, kvl, qcfg=qc, rk=rk, rv=rv,

@@ -29,21 +29,31 @@ kvl = jnp.asarray([S], jnp.int32)
 pairs = CQ * S - CQ * CQ // 2
 flops = pairs * hd * nh * 2 * 2
 
-for bs in [512, 1024, 2048, 4096]:
-    def chain(q, k, v):
-        def body(qc, _):
-            o = prefill_flash(qc, k, v, off, kvl, block_s=bs)
-            return o.astype(qc.dtype), None
-        out, _ = jax.lax.scan(body, q, None, length=CHAIN)
-        return out
-    f = jax.jit(chain)
-    t0 = time.time(); r = f(q, k, v); np.asarray(r.ravel()[:1])
-    comp = time.time() - t0
-    reps = []
-    for _ in range(3):
-        t0 = time.perf_counter(); r = f(q, k, v); np.asarray(r.ravel()[:1])
-        reps.append(time.perf_counter() - t0)
-    per = min(reps) / CHAIN
-    print(f"block_s={bs:5d}: {per*1e3:8.2f} ms/call  "
-          f"{flops/per/1e12:6.1f} TFLOP/s eff={flops/per/197e12*100:4.1f}% "
-          f"(compile {comp:.0f}s)", flush=True)
+PIPE = [p == "1" for p in os.environ.get("PIPE", "0,1").split(",")]
+BLOCKS = [int(b) for b in os.environ.get("BLOCKS", "512,1024,2048").split(",")]
+for pipelined in PIPE:
+    for bs in BLOCKS:
+        def chain(q, k, v):
+            def body(qc, _):
+                o = prefill_flash(qc, k, v, off, kvl, block_s=bs,
+                                  pipelined=pipelined)
+                return o.astype(qc.dtype), None
+            out, _ = jax.lax.scan(body, q, None, length=CHAIN)
+            return out
+        f = jax.jit(chain)
+        try:
+            t0 = time.time(); r = f(q, k, v); np.asarray(r.ravel()[:1])
+        except Exception as e:
+            print(f"pipe={int(pipelined)} block_s={bs:5d}: FAILED "
+                  f"{type(e).__name__}: {str(e).splitlines()[0][:100]}",
+                  flush=True)
+            continue
+        comp = time.time() - t0
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter(); r = f(q, k, v); np.asarray(r.ravel()[:1])
+            reps.append(time.perf_counter() - t0)
+        per = min(reps) / CHAIN
+        print(f"pipe={int(pipelined)} block_s={bs:5d}: {per*1e3:8.2f} ms/call  "
+              f"{flops/per/1e12:6.1f} TFLOP/s eff={flops/per/197e12*100:4.1f}% "
+              f"(compile {comp:.0f}s)", flush=True)
