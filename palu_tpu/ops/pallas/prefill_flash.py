@@ -42,8 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["prefill_flash"]
 
 
+LOG2E = float(np.log2(np.e))
+
+
 def _make_kernel_pipelined(cq: int, block_s: int, hd: int, sliding_window,
-                           cdt):
+                           cdt, exp2: bool = False):
     """Software-pipelined variant: grid runs one EXTRA sequence step and
     each step (a) issues the QK dot for block `si` into a ping-pong logits
     scratch slot, then (b) runs the online-softmax + PV for block `si-1`
@@ -76,10 +79,11 @@ def _make_kernel_pipelined(cq: int, block_s: int, hd: int, sliding_window,
         def qk_into(slot):
             q = q_ref[0].astype(cdt)  # (Cq, hd)
             k = k_ref[0].astype(cdt)  # (BS, hd)
+            scale = (LOG2E if exp2 else 1.0) / np.sqrt(hd)
             lg_scr[slot] = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * np.float32(1.0 / np.sqrt(hd))
+            ) * np.float32(scale)
 
         def softmax_pv(slot, masked: bool):
             logits = lg_scr[slot]  # (Cq, BS) f32, block sblk-1
@@ -98,8 +102,12 @@ def _make_kernel_pipelined(cq: int, block_s: int, hd: int, sliding_window,
             m_prev = m_scr[...]
             l_prev = l_scr[...]
             m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(logits - m_new)
+            # exp2 domain: logits carry a folded log2(e) factor, so
+            # 2^(l2 - m2) == e^(l - m) exactly in infinite precision --
+            # the hardware pow2 path skips exp's range-reduction multiply
+            e = jnp.exp2 if exp2 else jnp.exp
+            alpha = e(m_prev - m_new)
+            p = e(logits - m_new)
             if masked:
                 p = jnp.where(valid, p, 0.0)
             l_scr[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
@@ -154,7 +162,8 @@ def _make_kernel_pipelined(cq: int, block_s: int, hd: int, sliding_window,
     return kernel
 
 
-def _make_kernel(cq: int, block_s: int, hd: int, sliding_window, cdt):
+def _make_kernel(cq: int, block_s: int, hd: int, sliding_window, cdt,
+                 exp2: bool = False):
     def kernel(scalars, q_ref, k_ref, v_ref, out_ref, m_scr, l_scr, acc_scr):
         # scalars: (2*B,) int32 = [q_offset..., kv_len...]
         bi = pl.program_id(0)
@@ -178,7 +187,7 @@ def _make_kernel(cq: int, block_s: int, hd: int, sliding_window, cdt):
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) / np.sqrt(hd)  # (Cq, BS)
+            ) * np.float32((LOG2E if exp2 else 1.0) / np.sqrt(hd))  # (Cq, BS)
             if masked:
                 pos = (
                     jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
@@ -195,8 +204,9 @@ def _make_kernel(cq: int, block_s: int, hd: int, sliding_window, cdt):
             m_prev = m_scr[...]  # (Cq, 1)
             l_prev = l_scr[...]
             m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(logits - m_new)
+            e = jnp.exp2 if exp2 else jnp.exp
+            alpha = e(m_prev - m_new)
+            p = e(logits - m_new)
             if masked:
                 p = jnp.where(valid, p, 0.0)
             l_scr[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
@@ -242,7 +252,7 @@ def _make_kernel(cq: int, block_s: int, hd: int, sliding_window, cdt):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_s", "sliding_window", "interpret", "compute_dtype", "pipelined"),
+    static_argnames=("block_s", "sliding_window", "interpret", "compute_dtype", "pipelined", "exp2"),
 )
 def prefill_flash(
     q: jax.Array,  # (B, nh, Cq, hd) roped at absolute positions q_offset+i
@@ -256,6 +266,7 @@ def prefill_flash(
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
     pipelined: bool = False,
+    exp2: bool = False,
 ) -> jax.Array:
     """Causal-with-offset flash attention -> (B, nh, Cq, hd).
 
@@ -303,7 +314,7 @@ def prefill_flash(
                     clamp_last(bi, jnp.maximum(si - 1, 0), s), 0)
 
         kernel = _make_kernel_pipelined(cq, block_s, hd, sliding_window,
-                                        compute_dtype)
+                                        compute_dtype, exp2=exp2)
         grid = (b, nh, nblk + 1)
         in_specs = [
             pl.BlockSpec((1, None, cq, hd), lambda bi, hi, si, *_: (bi, hi, 0, 0)),
@@ -317,7 +328,8 @@ def prefill_flash(
             pltpu.VMEM((2, cq, block_s), jnp.float32),
         ]
     else:
-        kernel = _make_kernel(cq, block_s, hd, sliding_window, compute_dtype)
+        kernel = _make_kernel(cq, block_s, hd, sliding_window, compute_dtype,
+                              exp2=exp2)
         grid = (b, nh, nblk)
         in_specs = [
             pl.BlockSpec((1, None, cq, hd), lambda bi, hi, si, *_: (bi, hi, 0, 0)),

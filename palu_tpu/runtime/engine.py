@@ -1184,12 +1184,15 @@ class Engine:
         cfg, ecfg = self.cfg, self.ecfg
 
         def kernel_call(q_, k_, v_, off_, kvl_):
+            # exp2 + folded log2(e) scale: identical softmax via the
+            # hardware pow2 path (9.22 vs 9.34 ms/chunk on chip,
+            # docs/BENCH.md round-5 prefill)
             return prefill_flash(
                 q_, k_, v_, off_, kvl_,
                 block_s=self._prefill_block,
                 sliding_window=cfg.sliding_window,
                 interpret=ecfg.pallas_interpret,
-                compute_dtype=ecfg.dtype,
+                compute_dtype=ecfg.dtype, exp2=True,
             )
 
         if ecfg.mesh is not None:

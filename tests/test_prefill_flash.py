@@ -145,3 +145,14 @@ def test_pipelined_gqa_per_lane_and_padded_tail():
     # padded tail (kv_len < q_off): finite garbage, no NaN
     out = np.asarray(run(q, k, v, [192, 192], [8, 8], pipelined=True))
     assert np.isfinite(out).all()
+
+
+@pytest.mark.parametrize("pipelined", [False, True])
+def test_exp2_matches_exp(pipelined):
+    """exp2 with the folded log2(e) scale is the identical softmax (the
+    constant commutes through max/subtract): parity to f32 rounding."""
+    q, k, v = make_inputs(seed=11)
+    a = np.asarray(run(q, k, v, [128], [192], pipelined=pipelined))
+    b = np.asarray(run(q, k, v, [128], [192], pipelined=pipelined,
+                       exp2=True))
+    np.testing.assert_allclose(b, a, atol=2e-5, rtol=2e-5)

@@ -36,7 +36,8 @@ for pipelined in PIPE:
         def chain(q, k, v):
             def body(qc, _):
                 o = prefill_flash(qc, k, v, off, kvl, block_s=bs,
-                                  pipelined=pipelined)
+                                  pipelined=pipelined,
+                                  exp2=os.environ.get("EXP2", "0") == "1")
                 return o.astype(qc.dtype), None
             out, _ = jax.lax.scan(body, q, None, length=CHAIN)
             return out
