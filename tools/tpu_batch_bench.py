@@ -11,7 +11,10 @@ per variant; OOM rows are reported as such.
 
 Usage: python tools/tpu_batch_bench.py [bs...]   (default 1 4 8 16)
 Env: SEQ (65536, must divide by both blocks), CHAIN (96),
-     PALU_BLOCK (2048), DENSE_BLOCK (1024)
+     PALU_BLOCK (2048), DENSE_BLOCK (1024),
+     BITS (4; 2 = 2-bit exact packing -- as fast as the nibble variants
+     on chip at HALF the bytes, docs/BENCH.md round-4 container table),
+     DENSE (1; 0 skips the dense baseline rows)
 """
 import functools
 import os
@@ -36,6 +39,8 @@ seq = int(os.environ.get("SEQ", 65536))
 NCH = int(os.environ.get("CHAIN", 96))
 PALU_BLOCK = int(os.environ.get("PALU_BLOCK", 2048))
 DENSE_BLOCK = int(os.environ.get("DENSE_BLOCK", 1024))
+BITS = int(os.environ.get("BITS", 4))
+DENSE = os.environ.get("DENSE", "1") == "1"
 assert seq % PALU_BLOCK == 0 and seq % DENSE_BLOCK == 0, (
     f"SEQ={seq} must be a multiple of both block sizes "
     f"({PALU_BLOCK}, {DENSE_BLOCK}); a remainder would silently drop the "
@@ -74,14 +79,14 @@ def run_palu(bs, block_s=PALU_BLOCK):
     ks = jax.random.split(key, 4)
     q0 = jax.random.normal(ks[0], (bs, nh, hd), jnp.bfloat16)
     b_k = jax.random.normal(ks[1], (g, hpg, rk, hd), jnp.bfloat16) * 0.1
-    qc = QuantConfig(bits=4, group_size=0, sym=True)
+    qc = QuantConfig(bits=BITS, group_size=0, sym=True)
     # quantize lane 0 and broadcast: identical bytes per lane, same traffic
     x_k = jax.random.normal(ks[2], (1, g, seq, rk), jnp.bfloat16)
     x_v = jax.random.normal(ks[3], (1, g, seq, rv), jnp.bfloat16)
     kc, kss, _ = qm.quantize_affine(x_k, qc)
     vc, vss, _ = qm.quantize_affine(x_v, qc)
-    pk = qm.pack_codes_t(kc, 4)
-    pv = qm.pack_codes_t(vc, 4)
+    pk = qm.pack_codes_t(kc, qc.pack_bits)
+    pv = qm.pack_codes_t(vc, qc.pack_bits)
     args = (
         b_k,
         jnp.broadcast_to(pk, (bs,) + pk.shape[1:]).copy(),
@@ -132,10 +137,11 @@ def run_dense(bs, chunk=DENSE_BLOCK):
 gb = 1024**3
 print(f"devices: {jax.devices()}  seq={seq} chain={NCH}", flush=True)
 for bs in batches:
-    for name, runner, bytes_per_lane in (
-        ("palu4", run_palu, (rk + rv) * g / 2 * seq + 2 * g * seq * 4),
-        ("dense", run_dense, 2 * nh * hd * seq * 2),
-    ):
+    variants = [(f"palu{BITS}", run_palu,
+                 (rk + rv) * g * BITS / 8 * seq + 2 * g * seq * 4)]
+    if DENSE:
+        variants.append(("dense", run_dense, 2 * nh * hd * seq * 2))
+    for name, runner, bytes_per_lane in variants:
         cache_gb = bs * bytes_per_lane / gb
         try:
             us, compile_s = runner(bs)
