@@ -45,6 +45,11 @@ def main():
     parser.add_argument("--sample_frac", type=float, default=0.0,
                         help="fraction of requests using temperature "
                         "sampling (exercises the fused batched sampler)")
+    parser.add_argument("--chained_ref", type=int, default=0,
+                        help="also measure the bare engine's chained-scan "
+                        "TPOT over N steps at the same shape (the serving "
+                        "loop's per-step overhead = steady corrected step "
+                        "minus this)")
     args = parser.parse_args()
 
     import jax
@@ -135,6 +140,17 @@ def main():
             "steady_tokens_per_s": round(args.lanes / corrected, 1),
             "steady_steps_measured": len(t_steps),
         }
+        if args.chained_ref:
+            # bare-engine chained TPOT at the SAME shape: the serving
+            # loop's own per-step cost is the difference
+            from ..runtime import profiler
+
+            ref = profiler.profile_tpot_chained(
+                srv.engine, args.prompt_len, n_steps=args.chained_ref,
+                k_calls=3)
+            steady["engine_chained_tpot_ms"] = round(ref["tpot_ms"], 3)
+            steady["serving_overhead_ms"] = round(
+                corrected * 1e3 - ref["tpot_ms"], 3)
 
     # warmup compiles (first step pays prefill+decode compilation)
     srv.step()
