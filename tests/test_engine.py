@@ -742,3 +742,26 @@ def test_scaled_rope_fused_v4_matches_xla():
     s1 = _stepwise_logits(e_xla, ids)
     s2 = _stepwise_logits(e_pal, ids)
     assert np.allclose(s1, s2, atol=5e-3), np.abs(s1 - s2).max()
+
+
+@pytest.mark.parametrize("wbits", [8, 4])
+def test_engine_prefill_orders_agree_with_weight_quant(wbits):
+    """Layer-major == chunk-major prefill with QUANTIZED weights (wdot on
+    the {'wq8'/'wq4'} o_proj/q_proj dicts inside both prefill bodies) --
+    the gap the round-5 TTFT run exposed: the bench tool omitted the
+    unfused o_proj, but the engine paths themselves must also handle
+    quantized-weight prefill identically in both orders."""
+    params, cfg = _lowrank_model(seed=33, rank=16, gs=2)
+    qcfg = QuantConfig(bits=3, group_size=0, sym=True, container=4)
+    ids = np.random.default_rng(33).integers(0, cfg.vocab_size, (1, 26))
+    outs = []
+    for lm in (False, True):
+        eng = Engine(params, cfg, EngineConfig(
+            s_max=32, dtype=jnp.float32, qcfg=qcfg, decode_chunk=8,
+            use_pallas=True, pallas_interpret=True, layer_major_prefill=lm,
+            weight_bits=wbits))
+        logits, cache = eng.prefill_chunked(ids, chunk_size=4)
+        step, cache = eng.decode(ids[:, -1:] * 0 + 1, cache)
+        outs.append((np.asarray(logits), np.asarray(step)))
+    np.testing.assert_allclose(outs[1][0], outs[0][0], atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(outs[1][1], outs[0][1], atol=2e-4, rtol=1e-4)

@@ -96,8 +96,12 @@ def build_params(cfg):
                 "k_proj": {"VT": nrm((H, g * RK)), "U": nrm((g, RK, gd), 0.05)},
                 "v_proj": {"VT": nrm((H, g * RV)), "U": nrm((g, RV, gd), 0.05)},
                 # decode uses only the fused o_proj; random stands in for
-                # o_proj @ U_v (timing-equivalent, tools/tpu_model_bench.py)
-                "o_proj": {"w_fused": nrm((NH * RV, H))},
+                # o_proj @ U_v (timing-equivalent, tools/tpu_model_bench.py).
+                # TTFT (prefill) additionally needs the UNFUSED o_proj --
+                # the prefill paths project the dense attention output
+                "o_proj": ({"w_fused": nrm((NH * RV, H)),
+                            "w": nrm((NH * HD, H))} if TTFT
+                           else {"w_fused": nrm((NH * RV, H))}),
             },
             "mlp": {
                 "gate": nrm((H, INTER)),
