@@ -173,6 +173,18 @@ def _make_kernel4(
     # count and reads the unpacked ck operand once, and merges the two
     # (hpg, half) zero-correction dots into one K=2*half dot -- a
     # scheduling-bubble experiment, not an algebra change.
+    int8_rot: bool = False,  # FULL-int K path: int8 reconstruct dots with
+    # per-HEAD operand scales + the rotation evaluated in int32 against
+    # static int8 cos/sin tables, with int32 sublane segment-sums; floats
+    # appear only on the (hpg, BS) per-head outputs.  Removes both the
+    # bf16 MXU reconstruct (int8 = 2x rate) AND the (2W, BS) int->float
+    # converts that made plain int8_dots a wash (docs/BENCH.md round-5
+    # formulation study).  Accuracy: operand int8/head + tables at 6-bit
+    # (63) scale -> ~0.3-1% logit noise (overflow-safe: 63 * 127*15*128 *
+    # 64 < 2^30).  Opt-in throughput mode; requires seg_sum + per-row
+    # scales + pack width <= 4.
+    i8r_inv: float = 0.0,  # int8_rot: 1 / (127-ish table scale) -- the
+    # static dequant constant for the int8 cos/sin tables
 ):
     """bits=None builds the fp (bf16 rank-major latents, no scales) variant;
     the cache refs then hold latent rows directly instead of packed codes,
@@ -226,6 +238,8 @@ def _make_kernel4(
             _li_ref, *rest = rest  # consumed by the BlockSpec index maps
         (a1_ref, a2_ref, b1t_ref, b2t_ref, seg_ref,
          cos_ref, sin_ref, *rest) = rest
+        if int8_rot:
+            cos8_ref, sin8_ref, *rest = rest  # static int8 tables (W, BS)
         if k_bias:
             kb1_ref, kb2_ref, *rest = rest
         xk_codes, xk_s, xv_codes, xv_s, *rest = rest
@@ -419,9 +433,83 @@ def _make_kernel4(
                     )  # (hpg, BS)
                 return t, corr, bcorr
 
+            def k_path_i8(gi, cos8i, sin8i):
+                """Full-int K path (int8_rot docstring): per-head int8
+                operand scales -> int8 MXU dots -> int32 rotation against
+                the static int8 tables -> int32 segment sums; floats only
+                on the (hpg, BS) output."""
+                a1 = a1_ref[:, gi : gi + 1]  # (W, 1)
+                a2 = a2_ref[:, gi : gi + 1]
+                b1g = b1t_ref[gi].astype(jnp.float32)
+                b2g = b2t_ref[gi].astype(jnp.float32)
+                bq1f = a1 * b1g + a2 * b2g  # (W, rk) f32
+                bq2f = a2 * b1g - a1 * b2g
+
+                def hq(bqf):
+                    # per-HEAD scale: constant over each head's half-rows,
+                    # so it factors out of the segment sum
+                    m = jnp.max(jnp.abs(bqf).reshape(hpg, half * rk),
+                                axis=1, keepdims=True)  # (hpg, 1)
+                    s = jnp.maximum(m, 1e-30) * (1.0 / 127.0)
+                    srow = jnp.broadcast_to(
+                        s[:, :, None], (hpg, 1, half)).reshape(hpg * half, 1)
+                    n = jnp.round(bqf / srow).astype(jnp.int8)
+                    return n, s, srow
+
+                n1, s1h, s1row = hq(bq1f)
+                n2, s2h, s2row = hq(bq2f)
+                ck = _unpack_rank_major_t(
+                    xk_codes[gi], pbits, rk, qoff_unpack, jnp.int8)
+                u_i = jax.lax.dot_general(
+                    n1, ck, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)  # (W, BS) exact
+                v_i = jax.lax.dot_general(
+                    n2, ck, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                # int32 rotation + sublane segment sums:
+                # |t| <= 63 * 127*15*128 * 64 ~= 9.8e8 < 2^31
+                t1s = jnp.sum(
+                    (cos8i * u_i).reshape(hpg, half, block_s), axis=1)
+                t2s = jnp.sum(
+                    (sin8i * v_i).reshape(hpg, half, block_s), axis=1)
+                lg = (t1s.astype(jnp.float32) * (s1h * i8r_inv)
+                      + t2s.astype(jnp.float32) * (s2h * i8r_inv))
+                # per-token cache scale + zero corrections (quantized-
+                # consistent rowsums, exact f32 base tables)
+                lg = lg * ks_rows[gi : gi + 1, :]
+                if zcorr:
+                    r1 = (jnp.sum(n1.astype(jnp.float32), axis=1,
+                                  keepdims=True) * s1row).reshape(hpg, half)
+                    r2 = (jnp.sum(n2.astype(jnp.float32), axis=1,
+                                  keepdims=True) * s2row).reshape(hpg, half)
+                    corr = (
+                        jax.lax.dot_general(r1, cosb, (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(r2, sinb, (((1,), (0,)), ((), ())),
+                                              preferred_element_type=jnp.float32)
+                    )
+                    lg = lg + corr * kz_rows[gi : gi + 1, :]
+                if k_bias:
+                    kb1 = kb1_ref[:, gi : gi + 1].astype(jnp.float32)
+                    kb2 = kb2_ref[:, gi : gi + 1].astype(jnp.float32)
+                    ub = (a1 * kb1 + a2 * kb2).reshape(hpg, half)
+                    vb = (a2 * kb1 - a1 * kb2).reshape(hpg, half)
+                    lg = lg + (
+                        jax.lax.dot_general(ub, cosb, (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(vb, sinb, (((1,), (0,)), ((), ())),
+                                              preferred_element_type=jnp.float32)
+                    )
+                return lg
+
             # ---- K path: per-pair segment dot -> (2*hpg, BS), tile-aligned ----
             parts = []
-            if pair:
+            if int8_rot:
+                cos8i = cos8_ref[...].astype(jnp.int32)  # hoisted widen,
+                sin8i = sin8_ref[...].astype(jnp.int32)  # shared by groups
+                for gi in range(g):
+                    parts.append(k_path_i8(gi, cos8i, sin8i))
+            elif pair:
                 for gj in range(0, g, 2):
                     t_a, c_a, b_a = k_path(gj)
                     t_b, c_b, b_b = k_path(gj + 1)
@@ -566,7 +654,7 @@ def _call4(
     xk_zero=None, xv_zero=None, pos_offset=None, return_stats=False,
     layer_idx=None, group_chunk=None, seg_sum=False, k_bias=None,
     fold_qoff=False, pack_bits=None, v_byte_dot=False, int8_dots=False,
-    fuse_uv=False,
+    fuse_uv=False, int8_rot=False,
 ):
     asym = xk_zero is not None
     stacked = layer_idx is not None
@@ -588,6 +676,9 @@ def _call4(
         assert bits is not None and pb <= 4 and not group_chunk, \
             "int8_dots needs sub-byte codes (pack width <= 4) and per-row " \
             "scales"
+    if int8_rot:
+        assert bits is not None and pb <= 4 and not group_chunk and seg_sum, \
+            "int8_rot needs sub-byte codes, per-row scales, and seg_sum"
     lb = (xk_rows.shape[0],) if stacked else ()  # leading layer dim
     assert xk_rows.shape[-2] == nrk and xv_rows.shape[-2] == nrv
     if group_chunk:
@@ -615,6 +706,18 @@ def _call4(
 
     cos_t, sin_t, inv_freq = _rel_tables_t(
         block_s, half, hpg, theta, inv_freq_static, rope_scale)
+    if int8_rot:
+        # static int8 rotation tables at a shared 6-bit-magnitude scale
+        # (63): keeps the int32 segment sums overflow-safe (kernel
+        # docstring) while the exact f32 tables still serve the
+        # zero-correction / k-bias dots
+        cmax = float(max(np.abs(cos_t).max(), np.abs(sin_t).max(), 1e-9))
+        i8q = 63.0 / cmax
+        cos8_t = np.round(cos_t * i8q).astype(np.int8)
+        sin8_t = np.round(sin_t * i8q).astype(np.int8)
+        i8r_inv = float(1.0 / i8q)
+    else:
+        i8r_inv = 0.0
 
     # Offset-rotated query lanes: A1/A2 (B, nblk, W, G), tiny
     qf = q.astype(jnp.float32) / np.sqrt(hd)
@@ -658,7 +761,7 @@ def _call4(
         n_sc_k=nsk, n_sc_v=nsv, chunked=group_chunk is not None,
         seg_sum=seg_sum, k_bias=k_bias is not None, fold_qoff=fold_qoff,
         pack_bits=pack_bits, v_byte_dot=v_byte_dot, int8_dots=int8_dots,
-        fuse_uv=fuse_uv,
+        fuse_uv=fuse_uv, int8_rot=int8_rot, i8r_inv=i8r_inv,
     )
 
     grid = (b, nblk)
@@ -718,6 +821,11 @@ def _call4(
                 pl.BlockSpec((W, block_s), lambda bi, si, *_: (0, 0)),
             ]
             + (
+                [pl.BlockSpec((W, block_s), lambda bi, si, *_: (0, 0))] * 2
+                if int8_rot
+                else []
+            )
+            + (
                 [pl.BlockSpec((W, g), lambda bi, si, *_: (0, 0))] * 2
                 if k_bias is not None
                 else []
@@ -752,6 +860,7 @@ def _call4(
         ),
         a1, a2, b1t, b2t, seg,
         jnp.asarray(cos_t), jnp.asarray(sin_t),
+        *((jnp.asarray(cos8_t), jnp.asarray(sin8_t)) if int8_rot else ()),
         *((kb1, kb2) if k_bias is not None else ()),
         xk_rows, xk_scale.astype(jnp.float32),
         xv_rows, xv_scale.astype(jnp.float32),
@@ -772,7 +881,8 @@ def _call4(
     static_argnames=("qcfg", "rk", "rv", "block_s", "theta", "sliding_window",
                      "interpret", "compute_dtype", "inv_freq_static",
                      "rope_scale", "rot_dtype", "return_stats", "seg_sum",
-                     "fold_qoff", "v_byte_dot", "int8_dots", "fuse_uv"),
+                     "fold_qoff", "v_byte_dot", "int8_dots", "fuse_uv",
+                     "int8_rot"),
 )
 def palu_flash_decode4_quantized(
     q: jax.Array,  # (B, nh, hd)
@@ -824,6 +934,8 @@ def palu_flash_decode4_quantized(
     # rounding the default applies) -- see _make_kernel4
     fuse_uv: bool = False,  # one stacked (2W, rk) reconstruct dot per
     # group instead of two -- identical algebra, scheduling A/B knob
+    int8_rot: bool = False,  # FULL-int K path (int8 dots + int32 rotation
+    # against static int8 tables; ~0.3-1% logit noise) -- see _make_kernel4
 ) -> jax.Array:
     """Decode attention over an affine-quantized rank-major latent cache
     -> (B, nh, rv) latent-space output.
@@ -860,7 +972,7 @@ def palu_flash_decode4_quantized(
         pos_offset=pos_offset, return_stats=return_stats,
         layer_idx=layer_idx, seg_sum=seg_sum, k_bias=k_bias,
         fold_qoff=fold_qoff, v_byte_dot=v_byte_dot, int8_dots=int8_dots,
-        fuse_uv=fuse_uv,
+        fuse_uv=fuse_uv, int8_rot=int8_rot,
     )
 
 

@@ -558,3 +558,27 @@ def test_v4_fuse_uv_matches_plain(sym):
     b, _, _ = _quantize_and_run(q, b_k, x_k, x_v, kvl, 3, 32, 64,
                                 sym=sym, container=4, fuse_uv=True)
     assert np.allclose(b, a, atol=1e-4, rtol=1e-4), np.abs(b - a).max()
+
+
+@pytest.mark.parametrize("sym", [True, False])
+def test_v4_int8_rot_matches_dequant_xla(sym):
+    """Full-int K path (int8 dots + int32 rotation against static int8
+    tables): parity vs the XLA dequant reference at the loosened (table
+    6-bit + operand int8/head) tolerance."""
+    q, b_k, x_k, x_v, kvl = _setup(kv_len=200, seed=61)
+    out, x_k_dq, x_v_dq = _quantize_and_run(
+        q, b_k, x_k, x_v, kvl, 3, 32, 64, sym=sym, container=4,
+        int8_rot=True)
+    ref = np.asarray(_xla_reference(q, b_k, x_k_dq, x_v_dq, kvl))
+    assert np.allclose(out, ref, atol=8e-2, rtol=4e-2), np.abs(out - ref).max()
+
+
+def test_v4_int8_rot_window_batch_vbyte_stacked():
+    """int8_rot composes with v_byte_dot, sliding window, batch > 1."""
+    q, b_k, x_k, x_v, kvl = _setup(b=2, g=3, kv_len=150, seed=62)
+    out, x_k_dq, x_v_dq = _quantize_and_run(
+        q, b_k, x_k, x_v, kvl, 3, 32, 64, sym=True, container=4,
+        int8_rot=True, v_byte_dot=True, sliding_window=70)
+    ref = np.asarray(_xla_reference(q, b_k, x_k_dq, x_v_dq, kvl,
+                                    sliding_window=70))
+    assert np.allclose(out, ref, atol=8e-2, rtol=4e-2), np.abs(out - ref).max()

@@ -115,6 +115,8 @@ def main():
         ("int8+vbyte", dict(int8_dots=True, v_byte_dot=True)),
         ("fuse_uv", dict(fuse_uv=True)),
         ("fuse_uv+vbyte", dict(fuse_uv=True, v_byte_dot=True)),
+        ("int8_rot", dict(int8_rot=True)),
+        ("int8_rot+vbyte", dict(int8_rot=True, v_byte_dot=True)),
     ]
     if extra is not None:
         variants = [v for v in variants if v[0] in extra]
