@@ -116,6 +116,10 @@ class EngineConfig:
     # per group (identical algebra; chip A/B: 611 us with v_byte_dot at
     # the 3-bit/64K point vs 626 base -- within the ~+/-30us noise band,
     # kept as an opt-in knob)
+    kernel_int8_rot: bool = False  # FULL-int K path: int8 MXU dots +
+    # int32 rotation on static int8 tables (palu_decode4.int8_rot).
+    # Opt-in THROUGHPUT MODE: ~2e-2 relative attention-output deviation
+    # (same class as kernel_int8_dots), requires per-row sub-byte codes
 
 
 def build_decode_b(u_k: np.ndarray, cfg: ModelConfig) -> np.ndarray:
@@ -259,6 +263,12 @@ class Engine:
             self._kernel_knobs["int8_dots"] = True
         if ecfg.kernel_fuse_uv and knob_ok:
             self._kernel_knobs["fuse_uv"] = True
+        if ecfg.kernel_int8_rot:
+            if not (knob_ok and qk.pack_bits <= 4):
+                raise ValueError(
+                    "kernel_int8_rot needs per-row sub-byte codes "
+                    "(QuantConfig.group_size == 0, pack width <= 4)")
+            self._kernel_knobs["int8_rot"] = True
         if ecfg.rank_major_fp and ecfg.seq_axis is not None and not ecfg.use_pallas:
             raise ValueError(
                 "rank_major_fp + seq_axis requires use_pallas: the rank-major "

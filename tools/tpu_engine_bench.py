@@ -57,6 +57,7 @@ PCHUNK = int(os.environ.get("PCHUNK", 4096))
 VBYTE = os.environ.get("VBYTE", "auto")  # auto | 1 | 0
 I8DOTS = os.environ.get("I8DOTS", "0") == "1"
 FUSEUV = os.environ.get("FUSEUV", "0") == "1"
+I8ROT = os.environ.get("I8ROT", "0") == "1"
 
 
 H, NH, HD = 4096, 32, 128
@@ -134,6 +135,8 @@ def main():
         ek["kernel_int8_dots"] = True
     if FUSEUV:
         ek["kernel_fuse_uv"] = True
+    if I8ROT:
+        ek["kernel_int8_rot"] = True
     ecfg = EngineConfig(
         s_max=s_max, batch=1, qcfg=qcfg, decode_chunk=BLOCK,
         use_pallas=True, pallas_block=BLOCK, weight_bits=WBITS,
