@@ -35,6 +35,7 @@ def main():
                              "with per-group-128 scales (core/wquant)")
     parser.add_argument("--vocab_size", type=int, default=32000)
     parser.add_argument("--decode_chunk", type=int, default=256)
+    parser.add_argument("--pallas_block", type=int, default=2048)
     parser.add_argument("--use_cpu", action="store_true")
     parser.add_argument("--json", action="store_true")
     parser.add_argument("--steady_steps", type=int, default=0,
@@ -85,9 +86,14 @@ def main():
         if args.lt_bits < 16 else None)
     srv = ServingEngine(
         params, cfg,
+        # use_pallas: the fused v4 decode kernel (the production decode
+        # path); without it serving measures the XLA dequant fallback --
+        # a ~30x step-time difference at quantized 64K-class configs
         EngineConfig(s_max=args.s_max, batch=args.lanes, dtype=jnp.bfloat16,
                      qcfg=qcfg, decode_chunk=args.decode_chunk,
-                     weight_bits=args.weight_bits),
+                     weight_bits=args.weight_bits,
+                     use_pallas=not args.use_cpu,
+                     pallas_block=args.pallas_block),
     )
 
     from ..runtime.sampling import SamplingParams
