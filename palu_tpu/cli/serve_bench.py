@@ -92,7 +92,8 @@ def main():
         EngineConfig(s_max=args.s_max, batch=args.lanes, dtype=jnp.bfloat16,
                      qcfg=qcfg, decode_chunk=args.decode_chunk,
                      weight_bits=args.weight_bits,
-                     use_pallas=not args.use_cpu,
+                     use_pallas=(not args.use_cpu
+                                 and jax.default_backend() == "tpu"),
                      pallas_block=args.pallas_block),
     )
 

@@ -315,6 +315,21 @@ def _make_kernel4(
                     blocks.append(blk)
                 return jnp.concatenate(blocks, axis=0).astype(cdt)
 
+            def kbias_logits(gi, a1, a2):
+                # pre-RoPE K-bias logits (cache-independent; docstring):
+                # shared by the bf16 and full-int K paths so the fold can
+                # never diverge between them
+                kb1 = kb1_ref[:, gi : gi + 1].astype(jnp.float32)  # (W, 1)
+                kb2 = kb2_ref[:, gi : gi + 1].astype(jnp.float32)
+                ub = (a1 * kb1 + a2 * kb2).reshape(hpg, half)
+                vb = (a2 * kb1 - a1 * kb2).reshape(hpg, half)
+                return (
+                    jax.lax.dot_general(ub, cosb, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(vb, sinb, (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+                )  # (hpg, BS)
+
             def k_path(gi):
                 """t (W, BS) in compute dtype: roped-K logit contributions per
                 lane, before segment summation and per-token scaling.
@@ -387,20 +402,7 @@ def _make_kernel4(
                     t = u * cos + v * sin
                 else:
                     t = (u * cos + v * sin).astype(cdt)
-                bcorr = None
-                if k_bias:
-                    # pre-RoPE K-bias logits (docstring): cache-independent,
-                    # added after the per-token scale fold
-                    kb1 = kb1_ref[:, gi : gi + 1].astype(jnp.float32)  # (W, 1)
-                    kb2 = kb2_ref[:, gi : gi + 1].astype(jnp.float32)
-                    ub = (a1 * kb1 + a2 * kb2).reshape(hpg, half)
-                    vb = (a2 * kb1 - a1 * kb2).reshape(hpg, half)
-                    bcorr = (
-                        jax.lax.dot_general(ub, cosb, (((1,), (0,)), ((), ())),
-                                            preferred_element_type=jnp.float32)
-                        + jax.lax.dot_general(vb, sinb, (((1,), (0,)), ((), ())),
-                                              preferred_element_type=jnp.float32)
-                    )  # (hpg, BS)
+                bcorr = kbias_logits(gi, a1, a2) if k_bias else None
                 if not zcorr or chunked:
                     # chunked asym needs no folded correction: the zero
                     # entered the dequantized operand before the dots
@@ -490,16 +492,7 @@ def _make_kernel4(
                     )
                     lg = lg + corr * kz_rows[gi : gi + 1, :]
                 if k_bias:
-                    kb1 = kb1_ref[:, gi : gi + 1].astype(jnp.float32)
-                    kb2 = kb2_ref[:, gi : gi + 1].astype(jnp.float32)
-                    ub = (a1 * kb1 + a2 * kb2).reshape(hpg, half)
-                    vb = (a2 * kb1 - a1 * kb2).reshape(hpg, half)
-                    lg = lg + (
-                        jax.lax.dot_general(ub, cosb, (((1,), (0,)), ((), ())),
-                                            preferred_element_type=jnp.float32)
-                        + jax.lax.dot_general(vb, sinb, (((1,), (0,)), ((), ())),
-                                              preferred_element_type=jnp.float32)
-                    )
+                    lg = lg + kbias_logits(gi, a1, a2)
                 return lg
 
             # ---- K path: per-pair segment dot -> (2*hpg, BS), tile-aligned ----
@@ -679,6 +672,11 @@ def _call4(
     if int8_rot:
         assert bits is not None and pb <= 4 and not group_chunk and seg_sum, \
             "int8_rot needs sub-byte codes, per-row scales, and seg_sum"
+        # int32 segment-sum bound: |table| * |operand| * |code| * rk terms
+        # summed over `half` frequencies must stay inside int32
+        assert 63 * 127 * (2 ** pb - 1) * rk * (hd // 2) < 2 ** 31, (
+            f"int8_rot int32 segment sums would overflow at rk={rk}, "
+            f"half={hd // 2}, pack={pb}")
     lb = (xk_rows.shape[0],) if stacked else ()  # leading layer dim
     assert xk_rows.shape[-2] == nrk and xv_rows.shape[-2] == nrv
     if group_chunk:

@@ -261,7 +261,11 @@ class Engine:
             self._kernel_knobs["v_byte_dot"] = True
         if ecfg.kernel_int8_dots:
             self._kernel_knobs["int8_dots"] = True
-        if ecfg.kernel_fuse_uv and knob_ok:
+        if ecfg.kernel_fuse_uv:
+            if not knob_ok:
+                raise ValueError(
+                    "kernel_fuse_uv needs a per-row quantized cache "
+                    "(QuantConfig.group_size == 0)")
             self._kernel_knobs["fuse_uv"] = True
         if ecfg.kernel_int8_rot:
             if not (knob_ok and qk.pack_bits <= 4):

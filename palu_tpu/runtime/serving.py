@@ -487,17 +487,22 @@ class ServingEngine:
             prompt = self._prompts.pop(rid)
             self._set_lane_sampling(lane, rid)
             if self.prefill_chunks_per_step is not None:
+                owner = self._nproc == 1 or (lo <= lane < hi)
                 self._inflight[rid] = {
                     "lane": lane, "off": 0, "prompt": prompt, "logits": None,
-                    "cache": self.prefill_engine.init_cache(),
+                    # only the owning host computes this lane's chunks;
+                    # non-owners track offsets and never touch a cache
+                    "cache": (self.prefill_engine.init_cache()
+                              if owner else None),
                 }
                 continue
             if self._nproc > 1:
                 if lo <= lane < hi:
                     logits, single_cache = self.prefill_engine.prefill_auto(prompt)
                     self._insert_hostside(lane, single_cache, prompt.shape[1])
-                    self.tokens[lane, 0] = int(np.asarray(
-                        jnp.argmax(logits[0, -1])))
+                    # _pick_token, not argmax: a sampled request's first
+                    # token must come from its SamplingParams stream
+                    self.tokens[lane, 0] = self._pick_token(rid, logits[0, -1])
                 else:
                     self._insert_hostside(lane, None, prompt.shape[1])
                 pending.append((rid, lane))

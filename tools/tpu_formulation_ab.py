@@ -137,9 +137,11 @@ def main():
         out = np.asarray(
             jax.jit(lambda q, kc, kss, vc, vs: call(q, 0, kc, kss, vc, vs))(
                 q0, *bufs), np.float32)
-        if ref is None:
+        if label == "base":
             ref = out
             err = 0.0
+        elif ref is None:  # base failed or filtered out: no error column
+            err = float("nan")
         else:
             err = float(np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9))
         print(f"# {label:11s}: {us:8.1f} us/call  rel_err_vs_base {err:.2e}"
