@@ -56,6 +56,16 @@ axis:
 The fp16 Triton analog of the K path is the reference's
 kernel/abx_rope.py:48-111; the fused low-bit dequant is the TODO the
 reference never built (/root/reference/README.md:24).
+
+Round-5 formulation knobs (all parity-tested, measured in the
+docs/BENCH.md "round-5 kernel formulation study"): `v_byte_dot` (exact
+byte-plane V dots), `int8_dots` (int8 MXU K reconstruct), `fuse_uv`
+(stacked single reconstruct dot), `int8_rot` (full-int K path: int8 dots
++ int32 rotation on static int8 tables — the opt-in throughput mode).
+The study's conclusion: the kernel sits at a ~610-630 us/layer
+structural floor at the 7B/64K point — a serialized VPU/MXU mix that
+these knobs shift between units without shortening; the decode-step wins
+ship in the weight path (core/wquant) instead.
 """
 
 from __future__ import annotations
