@@ -459,14 +459,18 @@ def _make_kernel4(
 
                 def hq(bqf):
                     # per-HEAD scale: constant over each head's half-rows,
-                    # so it factors out of the segment sum
-                    m = jnp.max(jnp.abs(bqf).reshape(hpg, half * rk),
-                                axis=1, keepdims=True)  # (hpg, 1)
-                    s = jnp.maximum(m, 1e-30) * (1.0 / 127.0)
+                    # so it factors out of the segment sum.  Row-max then
+                    # head-max as two SINGLE-axis reduces: a multi-axis
+                    # jnp.max(axis=(1, 2)) (and the (hpg, half*rk) lane
+                    # relayout) SIGABRTs this Mosaic version's backend
+                    mrow = jnp.max(jnp.abs(bqf), axis=1, keepdims=True)
+                    mh = jnp.max(mrow.reshape(hpg, half, 1), axis=1,
+                                 keepdims=True)  # (hpg, 1, 1)
+                    s3 = jnp.maximum(mh, 1e-30) * (1.0 / 127.0)
                     srow = jnp.broadcast_to(
-                        s[:, :, None], (hpg, 1, half)).reshape(hpg * half, 1)
+                        s3, (hpg, half, 1)).reshape(hpg * half, 1)
                     n = jnp.round(bqf / srow).astype(jnp.int8)
-                    return n, s, srow
+                    return n, s3[:, 0, :], srow
 
                 n1, s1h, s1row = hq(bq1f)
                 n2, s2h, s2row = hq(bq2f)
