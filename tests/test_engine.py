@@ -765,3 +765,28 @@ def test_engine_prefill_orders_agree_with_weight_quant(wbits):
         outs.append((np.asarray(logits), np.asarray(step)))
     np.testing.assert_allclose(outs[1][0], outs[0][0], atol=2e-4, rtol=1e-4)
     np.testing.assert_allclose(outs[1][1], outs[0][1], atol=2e-4, rtol=1e-4)
+
+
+def test_engine_int8_rot_nll_close_to_exact_kernel():
+    """int8_rot (the full-int throughput kernel) must not measurably move
+    NLL beyond the 3-bit cache quantization itself: stepwise next-token
+    NLL within 0.02 of the exact-kernel engine on the synthetic model
+    (measured deltas are ~1e-5 -- the bound is two orders looser)."""
+    params, cfg = _lowrank_model(seed=77, rank=16, gs=2)
+    ids = np.random.default_rng(77).integers(0, cfg.vocab_size, (1, 40))
+
+    def nll(ek):
+        eng = Engine(params, cfg, EngineConfig(
+            s_max=64, dtype=jnp.float32, decode_chunk=8, use_pallas=True,
+            pallas_interpret=True,
+            qcfg=QuantConfig(bits=3, group_size=0, sym=True, container=4),
+            **ek))
+        logits = _stepwise_logits(eng, ids)
+        p = ids.shape[1] // 2
+        tgt = ids[0, p:]
+        lp = jax.nn.log_softmax(jnp.asarray(logits[0, : len(tgt)]), -1)
+        return float(-jnp.mean(lp[jnp.arange(len(tgt)), tgt]))
+
+    exact = nll({})
+    rot = nll(dict(kernel_int8_rot=True))
+    assert abs(rot - exact) < 0.02, (rot, exact)
