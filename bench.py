@@ -122,7 +122,7 @@ def bench_attention_module(
     # cache): project -> quantize+pack new column -> fused dequant decode ----
     from palu_tpu.ops.pallas.palu_decode4 import palu_flash_decode4_quantized
 
-    def make_quant_step(qcfg, q_block_s):
+    def make_quant_step(qcfg, q_block_s, **kernel_kw):
         def palu_q_step(x, kc, ks, vc, vs, pos):
             q = (x @ wq).reshape(1, num_heads, head_dim)
             half = head_dim // 2
@@ -146,6 +146,7 @@ def bench_attention_module(
             out = palu_flash_decode4_quantized(
                 q, b_k, kc, ks, vc, vs, pos + 1,
                 qcfg=qcfg, rk=rk, rv=rv, block_s=q_block_s, interpret=interp,
+                **kernel_kw,
             )
             y = out.astype(bf).reshape(1, num_heads * rv) @ wo_fused
             return y, kc, ks, vc, vs
@@ -266,13 +267,21 @@ def bench_attention_module(
         ("3bit", QuantConfig(bits=3, group_size=0, sym=True, container=4)),
         ("3bit_exact", QuantConfig(bits=3, group_size=0, sym=True)),
         ("2bit", QuantConfig(bits=2, group_size=0, sym=True)),
+        # THROUGHPUT MODE: same 3-bit container codes through the full-int
+        # K path (int8 MXU dots + int32 rotation on static int8 tables,
+        # palu_decode4.int8_rot) -- 395 vs 554 us/layer on chip
+        # (tools/tpu_formulation_ab.py round-5); ~2e-2 relative attention-
+        # output deviation, NLL-contract-tested
+        ("3bit_turbo", QuantConfig(bits=3, group_size=0, sym=True,
+                                   container=4), dict(int8_rot=True)),
     ]
-    for name, qcfg_b in variants:
+    for name, qcfg_b, *kkw in variants:
         log(f"# compiling palu {name} step...", file=sys.stderr)
         # block sweep on chip (chain-96 A/B, tools/tpu_ab_v2.py): with the
         # seg_sum kernel every bit width is fastest at block 2048
         # (4-bit 574us vs 587 @1024, 580 @4096; 3-bit 739 vs 755/756)
-        step_jit = make_quant_step(qcfg_b, 2 * block_s)
+        step_jit = make_quant_step(qcfg_b, 2 * block_s,
+                                   **(kkw[0] if kkw else {}))
         pb = qcfg_b.pack_bits
         kc0 = jnp.zeros((1, g, packed_nrows(rk, pb), s_max), jnp.uint8)
         ks0 = jnp.zeros((1, g, s_max), jnp.float32)
@@ -316,6 +325,8 @@ def main():
         "palu_3bit_ms": round(quant_ms["3bit"], 3),
         "palu_3bit_exact_ms": round(quant_ms["3bit_exact"], 3),
         "palu_2bit_ms": round(quant_ms["2bit"], 3),
+        "palu_3bit_turbo_ms": round(quant_ms["3bit_turbo"], 3),
+        "vs_baseline_3bit_turbo": round(dense_ms / quant_ms["3bit_turbo"], 3),
         "vs_baseline_4bit": round(dense_ms / quant_ms["4bit"], 3),
         "vs_baseline_3bit_exact": round(dense_ms / quant_ms["3bit_exact"], 3),
         "vs_baseline_2bit": round(dense_ms / quant_ms["2bit"], 3),
