@@ -69,6 +69,10 @@ def main():
                              "for per-row nibble-container caches)")
     parser.add_argument("--int8_dots", action="store_true",
                         help="v4 kernel K reconstruct on the int8 MXU path")
+    parser.add_argument("--int8_rot", action="store_true",
+                        help="full-int K path (throughput mode: int8 dots "
+                             "+ int32 rotation on static int8 tables; "
+                             "~2e-2 attention deviation)")
     parser.add_argument("--trace_dir", type=str, default=None)
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
@@ -93,6 +97,7 @@ def main():
             kernel_v_byte_dot=(None if args.v_byte_dot == "auto"
                                else args.v_byte_dot == "1"),
             kernel_int8_dots=args.int8_dots,
+            kernel_int8_rot=args.int8_rot,
         ),
     )
     stats = profile_tpot(engine, args.prompt_len, args.n_steps,
