@@ -36,6 +36,8 @@ def main():
     parser.add_argument("--vocab_size", type=int, default=32000)
     parser.add_argument("--decode_chunk", type=int, default=256)
     parser.add_argument("--pallas_block", type=int, default=2048)
+    parser.add_argument("--int8_rot", action="store_true",
+                        help="full-int decode kernel (throughput mode)")
     parser.add_argument("--use_cpu", action="store_true")
     parser.add_argument("--json", action="store_true")
     parser.add_argument("--steady_steps", type=int, default=0,
@@ -94,7 +96,8 @@ def main():
                      weight_bits=args.weight_bits,
                      use_pallas=(not args.use_cpu
                                  and jax.default_backend() == "tpu"),
-                     pallas_block=args.pallas_block),
+                     pallas_block=args.pallas_block,
+                     kernel_int8_rot=args.int8_rot),
     )
 
     from ..runtime.sampling import SamplingParams
